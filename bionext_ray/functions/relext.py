@@ -1,0 +1,136 @@
+"""Doc-local relation extraction: candidate pairs, entity-marker insertion,
+window/encode, surrogate scoring, composite-id expansion, logit fusion.
+
+Reference parity:
+- candidate generation over unique (identifier, type) with the 6x6
+  type-compatibility mask; at inference every compatible pair is a
+  Negative_Class candidate (/root/reference/src/extractor/data.py:64-94 —
+  relations==[] so shuffle_counter==len(perms)).
+- marker insertion: every mention whose comma-split identifier intersects the
+  pair gets [s1]/[e1] or [s2]/[e2], inserted in reverse span order
+  (data.py:97-131).
+- windowing: 512-token windows over the marked text with last-window
+  right-alignment min(i*L, max(0, len-L)); windows missing either entity's
+  start marker are skipped when entity1 != entity2 (data.py:342-396).
+- scoring + pre-fusion filter: per (pair, window) logits; windows whose
+  argmax is Negative_Class (8) are dropped before fusion
+  (/root/reference/src/extractor/__init__.py:70-83).
+- composite expansion + fusion: comma cross-product of entity ids; per
+  (doc, e1, e2) with >1 sample, sum softmax(relation logits) and sum novelty
+  logits, then argmax; post-fusion Negative_Class filter
+  (__init__.py:85-133).
+
+Documented deviation: the reference iterates candidate pairs in Python-set
+order and then random.shuffle()s them (data.py:83-85), which makes the
+*direction* of emitted negative-candidate pairs nondeterministic. The rebuild
+orders the unique id set by (type, identifier) so pair direction is stable.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections import defaultdict
+
+import numpy as np
+
+from ..constants import (ID2LABEL_NOVEL, ID2LABEL_RELATION, LABEL2ID_ENTITY,
+                         MODEL_MAX_LENGTH, NEGATIVE_CLASS, TYPE_PAIR_MASK)
+from ..scorer import relation_logits, softmax
+from ..tokenization import tokenize
+
+# CLS/SEP analogs occupy 2 slots (data.py:353-355)
+MAX_VALID_LENGTH = MODEL_MAX_LENGTH - 2
+
+
+def candidate_pairs(mentions: list[dict]) -> list[tuple[tuple, tuple]]:
+    """Unique (identifier, type) combinations allowed by the mask."""
+    ids = sorted({(m["linked"], m["label"]) for m in mentions})
+    out = []
+    for e1, e2 in itertools.combinations(ids, 2):
+        if TYPE_PAIR_MASK[LABEL2ID_ENTITY[e1[1]]][LABEL2ID_ENTITY[e2[1]]] == 1:
+            out.append((e1, e2))
+    return out
+
+
+def insert_markers(text: str, mentions: list[dict], entity1: str, entity2: str) -> str:
+    """Mark every mention of the two (possibly composite) entity ids
+    (data.py:97-126)."""
+    r1 = set(entity1.split(","))
+    r2 = set(entity2.split(","))
+    marked = []
+    for m in mentions:
+        for el in m["linked"].split(","):
+            if el in r1:
+                marked.append((m["start_span"], m["end_span"], 1))
+                break
+            elif el in r2:
+                marked.append((m["start_span"], m["end_span"], 2))
+                break
+    for start, end, order in reversed(marked):
+        text = text[:end] + f"[e{order}]" + text[end:]
+        text = text[:start] + f"[s{order}]" + text[start:]
+    return text
+
+
+def pair_windows(marked_text: str, entity1: str, entity2: str):
+    """Yield sequence ids of windows that retain both entities' markers
+    (data.py:342-396; the reference checks [s1] and [s2] presence)."""
+    tokens = tokenize(marked_text)
+    L = MAX_VALID_LENGTH
+    for i in range(math.ceil(len(tokens) / L)):
+        window = tokens[min(i * L, max(0, len(tokens) - L)):min((i + 1) * L, len(tokens))]
+        if entity1 != entity2:
+            has_s1 = "[s1]" in window
+            has_s2 = "[s2]" in window
+            if not (has_s1 and has_s2):
+                continue
+        yield i
+
+
+def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]:
+    """Full doc-local extractor. ``mentions`` are the cleaned linker output.
+    Returns triple rows {doc_id, subj, pred, obj, novel}."""
+    doc_relations = []
+    for e1, e2 in candidate_pairs(mentions):
+        marked = insert_markers(text, mentions, e1[0], e2[0])
+        for seq_id in pair_windows(marked, e1[0], e2[0]):
+            rel, nov = relation_logits(doc_id, e1[0], e2[0], seq_id)
+            rel_class = int(np.argmax(rel))
+            if rel_class != NEGATIVE_CLASS:
+                doc_relations.append({
+                    "entity1": e1[0], "entity2": e2[0],
+                    "label": rel_class, "novel": int(np.argmax(nov)),
+                    "sequence_id": seq_id,
+                    "relation_logits": rel, "novel_logits": nov,
+                })
+
+    # composite-id cross-product expansion (__init__.py:87-94)
+    remapped: dict[tuple, list] = defaultdict(list)
+    for pair in doc_relations:
+        for p1 in pair["entity1"].split(","):
+            for p2 in pair["entity2"].split(","):
+                remapped[(p1, p2)].append([
+                    pair["label"], pair["novel"], pair["sequence_id"],
+                    softmax(pair["relation_logits"]), pair["novel_logits"],
+                ])
+
+    # logit fusion (__init__.py:98-108)
+    triples = []
+    for (p1, p2), v in remapped.items():
+        if len(v) > 1:
+            rel_sum = np.sum(np.array([i[3] for i in v]), axis=0)
+            true_label = int(np.argmax(rel_sum))
+            novel_sum = np.sum(np.array([i[4] for i in v]), axis=0)
+            novel_label = int(np.argmax(novel_sum))
+        else:
+            true_label, novel_label = v[0][0], v[0][1]
+        if true_label != NEGATIVE_CLASS:
+            triples.append({
+                "doc_id": doc_id,
+                "subj": p1,
+                "pred": ID2LABEL_RELATION[true_label],
+                "obj": p2,
+                "novel": ID2LABEL_NOVEL[novel_label] == "Novel",
+            })
+    return triples

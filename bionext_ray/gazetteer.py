@@ -1,0 +1,39 @@
+"""Surrogate NER "model": leftmost-longest gazetteer matcher.
+
+Deterministic, CPU-only stand-in for the reference's BioLinkBERT+CRF tagger
+(/root/reference/src/tagger/model/modeling_bionexttagger.py). The interface is
+the one a transformer would have — per-window BIO label sequences over token
+offsets — so a real model slots into the same actor. Matching is
+case-insensitive, word-bounded, leftmost-longest (regex alternation sorted by
+length, non-overlapping), compiled ONCE per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class GazetteerMatcher:
+    def __init__(self, gazetteer: dict[str, str]):
+        """gazetteer: lowercase surface -> entity type label."""
+        self.gazetteer = dict(gazetteer)
+        surfaces = sorted(self.gazetteer, key=len, reverse=True)
+        alts = "|".join(re.escape(s) for s in surfaces)
+        self._re = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])")
+
+    def find_mentions(self, text: str) -> list[dict]:
+        """All non-overlapping matches as annotation dicts with absolute char
+        spans — the shape the tagger decoder emits
+        (/root/reference/src/tagger/__init__.py:122-135)."""
+        out = []
+        lower = text.lower()
+        for i, m in enumerate(self._re.finditer(lower)):
+            s, e = m.span()
+            out.append({
+                "id": str(i),
+                "label": self.gazetteer[m.group(0)],
+                "text": text[s:e],
+                "start_span": s,
+                "end_span": e,
+            })
+        return out

@@ -1,0 +1,91 @@
+"""tagged docs -> linked docs: entity-linking actor pool.
+
+Stateful stage: KB alias dicts and sharded embedding matrices are loaded ONCE
+per actor in ``__init__`` (the reference loads them per linker pass,
+/root/reference/src/linker/chemicals.py:49-68 — recomputed for every stage;
+here they live for the actor's lifetime). At cluster scale the KB is
+broadcast: pass a ``ray.ObjectRef`` from ``ray.put(kb)`` so each actor reads
+it zero-copy from the local object store instead of re-shipping per task.
+
+Embedding lookups are batched: all of a batch's chemical/disease/cell surface
+forms are embedded and matmul'd per shard in one call, and memoized in the
+per-actor cache (the reference's lru_cache(1_000_000) per mention,
+chemicals.py:71 — T3 in SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..constants import MIN_EMB_THRESHOLD
+from ..embedding import embed_batch, embed_text
+from ..functions.linking import EmbeddingIndex, link_document
+from ..kb import KnowledgeBase
+from .tagger import MENTION_TYPE
+
+
+class LinkerStage:
+    def __init__(self, kb):
+        if isinstance(kb, ray.ObjectRef):
+            kb = ray.get(kb)
+        self.kb: KnowledgeBase = kb
+        self.chem_idx = EmbeddingIndex(kb.emb.get("mesh", []), MIN_EMB_THRESHOLD, embed_batch)
+        self.dis_idx = EmbeddingIndex(kb.emb.get("ctd", []), MIN_EMB_THRESHOLD, embed_batch)
+        self.cell_idx = EmbeddingIndex(kb.emb.get("cellosaurus", []), MIN_EMB_THRESHOLD, embed_batch)
+        self._gene_cache: dict[tuple[str, str], str] = {}
+
+    def gene_emb_lookup(self, text: str, tax: str) -> str:
+        """Per-tax gene embedding argmax > threshold, else '-'
+        (/root/reference/src/linker/genes.py:84-103)."""
+        key = (text.lower(), tax)
+        if key not in self._gene_cache:
+            ids, M = self.kb.gene_emb[tax]
+            v = embed_text(text.lower())
+            scores = M @ v
+            i = int(scores.argmax()) if len(scores) else -1
+            code = ids[i] if i >= 0 and scores[i] > MIN_EMB_THRESHOLD else "-"
+            if len(self._gene_cache) < 1_000_000:
+                self._gene_cache[key] = code
+            else:
+                return code
+        return self._gene_cache[key]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_mentions = batch["mentions"].to_pylist()
+        # warm the embedding caches with ONE batched lookup per KB family
+        chem, dis, cell = [], [], []
+        for ms in all_mentions:
+            for m in ms:
+                if m["label"] in ("ChemicalEntity", "Chemical"):
+                    chem.append(m["text"])
+                elif m["label"] in ("DiseaseOrPhenotypicFeature", "Disease"):
+                    dis.append(m["text"])
+                elif m["label"] == "CellLine":
+                    cell.append(m["text"])
+        if chem:
+            self.chem_idx.lookup_many(chem)
+        if dis:
+            self.dis_idx.lookup_many(dis)
+        if cell:
+            self.cell_idx.lookup_many(cell)
+
+        linked = []
+        for ms in all_mentions:
+            cleaned = link_document(
+                [dict(m) for m in ms], self.kb,
+                self.chem_idx, self.dis_idx, self.cell_idx,
+                self.gene_emb_lookup)
+            linked.append([{k: m[k] for k in
+                            ("id", "label", "text", "start_span", "end_span", "linked")}
+                           for m in cleaned])
+        batch = batch.drop_columns(["mentions"])
+        return batch.append_column("mentions", pa.array(linked, pa.list_(MENTION_TYPE)))
+
+
+def linker_stage(tagged_ds, kb, concurrency=4, batch_size: int = 256,
+                 num_cpus: float = 1):
+    return tagged_ds.map_batches(
+        LinkerStage, fn_constructor_args=(kb,),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus)

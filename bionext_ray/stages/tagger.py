@@ -1,0 +1,78 @@
+"""docs -> tagged docs: mention detection as an actor-pool map_batches stage.
+
+The stage is FUSED per document: tokenize -> window fan-out -> per-window
+label prediction -> stitched decode all happen inside one actor call, so a
+document's windows never leave the task (no window->doc regroup shuffle;
+SURVEY.md A1/§7.2). With a real transformer the same class holds the model
+and runs batched inference over the windows of the whole batch in
+``__call__``; the surrogate matcher is compiled once in ``__init__``
+(reference model load: /root/reference/src/tagger/__init__.py:55-76).
+
+Output schema: docs columns + ``mentions: list<struct{id,label,text,
+start_span,end_span,linked}>`` (doc-aligned nested mentions; explode with
+``explode_mentions`` when a flat table is wanted).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.ner import tag_document
+from ..gazetteer import GazetteerMatcher
+
+MENTION_TYPE = pa.struct([
+    ("id", pa.string()),
+    ("label", pa.string()),
+    ("text", pa.string()),
+    ("start_span", pa.int64()),
+    ("end_span", pa.int64()),
+    ("linked", pa.string()),
+])
+
+
+class TaggerStage:
+    def __init__(self, gazetteer: dict[str, str]):
+        self.matcher = GazetteerMatcher(gazetteer)  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        mentions = [tag_document(t, self.matcher) for t in texts]
+        return batch.append_column(
+            "mentions", pa.array(mentions, pa.list_(MENTION_TYPE)))
+
+
+def tagger_stage(docs_ds, gazetteer: dict[str, str], concurrency=4,
+                 batch_size: int = 256, num_cpus: float = 1):
+    return docs_ds.map_batches(
+        TaggerStage, fn_constructor_args=(gazetteer,),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus)
+
+
+def explode_mentions(tagged_ds):
+    """Flatten the nested mentions column into one row per mention
+    (doc_id, mention_id, label, text, start, end, identifier)."""
+    def _explode(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        mentions = batch["mentions"].to_pylist()
+        rows = {"doc_id": [], "mention_id": [], "label": [], "text": [],
+                "start": [], "end": [], "identifier": []}
+        for did, ms in zip(doc_ids, mentions):
+            for m in ms:
+                rows["doc_id"].append(did)
+                rows["mention_id"].append(int(m["id"]))
+                rows["label"].append(m["label"])
+                rows["text"].append(m["text"])
+                rows["start"].append(m["start_span"])
+                rows["end"].append(m["end_span"])
+                rows["identifier"].append(m["linked"])
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "mention_id": pa.array(rows["mention_id"], pa.int32()),
+            "label": pa.array(rows["label"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+            "start": pa.array(rows["start"], pa.int64()),
+            "end": pa.array(rows["end"], pa.int64()),
+            "identifier": pa.array(rows["identifier"], pa.string()),
+        })
+    return tagged_ds.map_batches(_explode, batch_format="pyarrow")
