@@ -1,44 +1,441 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the bionext_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001. ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data ops); ``oracle_sql()`` gives DuckDB-equivalent SQL for every
+SQL-expressible query. Column names and value types (ints/strings/bools
+only on compared columns) match between both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is')"
+
+_TERMS = None
+
+
+def _terms() -> list[str]:
+    """Single-word gazetteer surfaces (SQL-checkable term-frequency set)."""
+    global _TERMS
+    if _TERMS is None:
+        from bionext_ray.kb import default_kb
+        _TERMS = sorted(t for t in default_kb().gazetteer
+                        if " " not in t and t.isalnum())
+    return _TERMS
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(batch: pa.Table, col: str, out: str) -> pa.Table:
+    v = np.rint(np.asarray(batch[col].to_pylist(), dtype=np.float64) * 100)
+    return batch.append_column(out, pa.array(v.astype(np.int64), pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (input: pages derived from the documents table —
+# derivation rule in bionext_ray.pipeline.pages_from_documents, mirrored in
+# the SQL oracles)
+
+def _kg_stages(sf_dir: str):
+    from bionext_ray.pipeline import kg_stage_datasets, pages_from_documents
+    return kg_stage_datasets(pages_from_documents(sf_dir), concurrency=(1, 8),
+                             batch_size=64)
+
+
+def q_kg_extract_text(sf_dir: str):
+    """Byte-identity invariant, SQL-checked: md5 of the extracted text."""
+    import hashlib
+    docs = _kg_stages(sf_dir)["docs"]
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({
+            "url": batch["url"],
+            "doc_id": batch["doc_id"],
+            "text_hash": pa.array(hs, pa.string()),
+            "title_len": pa.array(batch["title_len"].to_pylist(), pa.int64()),
+        })
+    return docs.map_batches(_hash, batch_format="pyarrow")
+
+
+def q_kg_mentions(sf_dir: str):
+    return _kg_stages(sf_dir)["mentions"]
+
+
+def q_kg_linked_mentions(sf_dir: str):
+    return _kg_stages(sf_dir)["linked_mentions"]
+
+
+def q_kg_triples(sf_dir: str):
+    return _kg_stages(sf_dir)["triples"]
+
+
+def q_kg_canonical_triples(sf_dir: str):
+    return _kg_stages(sf_dir)["canonical"]
+
+
+# ---------------------------------------------------------------------------
+# text analysis ops (documents table)
+
+def q_token_count(sf_dir: str):
+    from bionext_ray.ops.textstats import token_count_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    from bionext_ray.ops.textstats import lang_id_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    from bionext_ray.ops.textstats import quality_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    from bionext_ray.ops.textstats import fingerprint_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+
+
+def q_term_counts(sf_dir: str):
+    from bionext_ray.ops.textstats import term_count_batch
+    terms = _terms()
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: term_count_batch(b, terms), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup ops
+
+def q_dedup_exact(sf_dir: str):
+    from bionext_ray.ops.dedup import exact_dedup
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_candidates(sf_dir: str):
+    from bionext_ray.ops.dedup import minhash_lsh_candidates
+    return minhash_lsh_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash(sf_dir: str):
+    from bionext_ray.ops.dedup import simhash_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings table)
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      filters=[("vec_id", "=", 0)])
+    return np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def q_simsearch_topk(sf_dir: str):
+    from bionext_ray.ops.simsearch import brute_force_topk, ranked_ids
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = brute_force_topk(ds, _query_vec(sf_dir), k=10)
+    return ranked_ids(top)
+
+
+def q_simsearch_lsh(sf_dir: str):
+    from bionext_ray.ops.simsearch import lsh_topk, ranked_ids
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ranked_ids(lsh_topk(ds, _query_vec(sf_dir), k=10, n_planes=6))
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries (TPC-H-ish)
+
+def q_pricing_summary(sf_dir: str):
+    from bionext_ray.ops.relational import partial_final_agg
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"],
+                          pa.scalar(np.datetime64("2000-12-01", "us"))))
+        batch = _cents(batch, "l_extendedprice", "ep_cents")
+        disc = np.rint(np.asarray(batch["l_discount"].to_pylist()) * 100).astype(np.int64)
+        tax = np.rint(np.asarray(batch["l_tax"].to_pylist()) * 100).astype(np.int64)
+        ep = np.asarray(batch["ep_cents"].to_pylist())
+        qty = np.asarray(batch["l_quantity"].to_pylist()).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pa.array(qty, pa.int64()),
+            "base_cents": pa.array(ep, pa.int64()),
+            "disc_units": pa.array(ep * (100 - disc), pa.int64()),
+            "charge_units": pa.array(ep * (100 - disc) * (100 + tax), pa.int64()),
+            "one": pa.array(np.ones(len(qty), dtype=np.int64), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return partial_final_agg(
+        prepped, ["l_returnflag", "l_linestatus"],
+        [("qty", "sum", "sum_qty"), ("base_cents", "sum", "sum_base_cents"),
+         ("disc_units", "sum", "sum_disc_units"),
+         ("charge_units", "sum", "sum_charge_units"),
+         ("one", "sum", "count_order")])
+
+
+def q_top_customers(sf_dir: str):
+    from bionext_ray.ops.relational import broadcast_join, partial_final_agg
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = _cents(batch, "o_totalprice", "cents")
+        return batch.select(["o_custkey", "cents"])
+
+    agg = partial_final_agg(orders.map_batches(prep, batch_format="pyarrow"),
+                            ["o_custkey"],
+                            [("cents", "sum", "total_cents"),
+                             ("cents", "count", "n_orders")])
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(agg, cust, on="o_custkey").to_pandas()
+    top = joined.sort_values(["total_cents", "o_custkey"],
+                             ascending=[False, True]).head(10)
+    return pa.table({
+        "c_custkey": pa.array(top["o_custkey"].tolist(), pa.int64()),
+        "c_name": pa.array(top["c_name"].tolist(), pa.string()),
+        "total_cents": pa.array(top["total_cents"].tolist(), pa.int64()),
+        "n_orders": pa.array(top["n_orders"].tolist(), pa.int64()),
+    })
+
+
+def q_orders_by_nation(sf_dir: str):
+    from bionext_ray.ops.relational import broadcast_join, partial_final_agg
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey",
+                     right_on="n_nationkey")[["c_custkey", "n_name"]]
+    dim = dim.rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = _cents(batch, "o_totalprice", "cents")
+        return batch.select(["o_custkey", "cents"])
+
+    joined = broadcast_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            dim, on="o_custkey")
+    return partial_final_agg(joined, ["n_name"],
+                             [("cents", "sum", "total_cents"),
+                              ("cents", "count", "n_orders")])
+
+
+def q_events_hourly(sf_dir: str):
+    from bionext_ray.ops.relational import partial_final_agg
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        epoch_us = pc.cast(batch["ts"], pa.int64()).to_pylist()
+        hour = [(e // 3_600_000_000) * 3600 for e in epoch_us]
+        vmilli = [math.floor(v * 1000) for v in batch["value"].to_pylist()]
+        n = len(hour)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour_epoch": pa.array(hour, pa.int64()),
+            "value_milli": pa.array(vmilli, pa.int64()),
+            "one": pa.array([1] * n, pa.int64()),
+        })
+
+    return partial_final_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["event_type", "hour_epoch"],
+                             [("value_milli", "sum", "sum_value_milli"),
+                              ("one", "sum", "n_events")])
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payloads derived from documents text)
+
+def q_multimodal_features(sf_dir: str):
+    from bionext_ray.ops.multimodal import feature_extract
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([(t or "").encode("utf-8")
+                                 for t in batch["text"].to_pylist()],
+                                pa.binary()),
+        })
+
+    feats = feature_extract(ds.map_batches(to_payload, batch_format="pyarrow"),
+                            fake=True, batch_size=64)
+    return feats.drop_columns(["payload"])
+
+
+# ---------------------------------------------------------------------------
+# contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: sf0.001 documents -> pages -> canonical triples."""
+    return q_kg_canonical_triples("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_extract_text": q_kg_extract_text,
+        "kg_mentions": q_kg_mentions,
+        "kg_linked_mentions": q_kg_linked_mentions,
+        "kg_triples": q_kg_triples,
+        "kg_canonical_triples": q_kg_canonical_triples,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "term_counts": q_term_counts,
+        "dedup_exact": q_dedup_exact,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+        "simsearch_topk": q_simsearch_topk,
+        "simsearch_lsh": q_simsearch_lsh,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "orders_by_nation": q_orders_by_nation,
+        "events_hourly": q_events_hourly,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    terms_values = ", ".join(f"('{t}')" for t in _terms())
+    return {
+        "kg_extract_text": f"""
+            SELECT 'https://example.org/doc/' || doc_id AS url,
+                   CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(CASE WHEN doc_id % 3 = 0 THEN text
+                            ELSE 'Doc ' || doc_id || ' ' || text END) AS text_hash,
+                   CASE WHEN doc_id % 3 = 0 THEN 0
+                        ELSE length('Doc ' || doc_id) + 1 END AS title_len
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   (1000000 * length(list_filter(string_split(lower(text), ' '),
+                                     x -> x IN {_STOPWORDS_SQL})))
+                       // length(string_split(lower(text), ' ')) AS stop_ppm,
+                   CASE WHEN (1000000 * length(list_filter(string_split(lower(text), ' '),
+                                     x -> x IN {_STOPWORDS_SQL})))
+                       // length(string_split(lower(text), ' ')) >= 30000
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents
+        """,
+        "quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+                   (1000000 * length(regexp_extract_all(text, '[^A-Za-z0-9_ ]')))
+                       // length(text) AS punct_ppm,
+                   (1000 * length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g')))
+                       // length(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                       AS mean_tok_len_milli
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(text), ' '))), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "term_counts": f"""
+            SELECT doc_id, term, n FROM (
+                SELECT d.doc_id, t.term,
+                       length(list_filter(string_split(lower(d.text), ' '),
+                                          x -> x = t.term)) AS n
+                FROM documents d, (VALUES {terms_values}) AS t(term)
+            ) WHERE n > 0
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "simsearch_topk": """
+            SELECT row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           embedding, (SELECT embedding FROM embeddings
+                                       WHERE vec_id = 0)) DESC, vec_id ASC)
+                       AS rank,
+                   vec_id
+            FROM embeddings
+            ORDER BY rank LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_units,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_units,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, total_cents, n_orders FROM (
+                SELECT c.c_custkey, c.c_name,
+                       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                       COUNT(*) AS n_orders
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey, c.c_name
+            ) ORDER BY total_cents DESC, c_custkey ASC LIMIT 10
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type, (epoch_us(ts) // 3600000000) * 3600
+        """,
+    }

@@ -1,0 +1,113 @@
+"""Benchmark harness: headline KG pipeline + operator suite over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1), printing ONE JSON line.
+
+Usage:
+    python bench.py                 # one run at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # fresh-process runs at 8 and 32 CPUs,
+                                    # reports throughputs + scaling efficiency
+
+The headline metric is end-to-end seconds for pages -> canonical triples
+(extract, tag, link, extract-relations, canonicalize) over the
+documents-derived pages corpus; per-query timings cover the other operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    # warm OS page cache (untimed): one full read of the inputs
+    import pyarrow.parquet as pq
+    for t in ("documents", "lineitem", "events", "embeddings",
+              "orders", "customer", "nation"):
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    queries = entrymod.queries()
+    bench_queries = [
+        "kg_triples", "dedup_exact", "minhash_candidates", "simhash",
+        "simsearch_topk", "pricing_summary", "top_customers",
+        "orders_by_nation", "events_hourly", "token_count", "lang_id",
+        "fingerprint",
+    ]
+
+    per_query = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = queries[name](sf_dir)
+        if hasattr(res, "count"):       # Dataset: consume it
+            n = res.count()
+        else:
+            n = len(res)
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: full pipeline to canonical triples (includes the shuffle)
+    import pyarrow.parquet as pq2
+    n_pages = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    t0 = time.perf_counter()
+    canon = queries["kg_canonical_triples"](sf_dir)
+    n_triples = canon.count()
+    headline = time.perf_counter() - t0
+
+    result = {
+        "metric": "kg_pipeline_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "canonical_triples": n_triples,
+        "pages_per_sec": round(n_pages / headline, 2),
+        "triples_per_sec": round(n_triples / headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def _run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _run_subprocess(lo)
+        r_hi = _run_subprocess(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "kg_pipeline_scaling",
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "pages_per_sec_8": r_lo["pages_per_sec"],
+            "pages_per_sec_32": r_hi["pages_per_sec"],
+            "triples_per_sec_8": r_lo["triples_per_sec"],
+            "triples_per_sec_32": r_hi["triples_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "sf": r_lo["sf"],
+        }))
+    else:
+        print(json.dumps(_run_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Deduplication operators for a large documents table.
+
+- exact_dedup: content-hash + hash-partitioned per-group first (the canonical
+  exact-dedup shuffle; SURVEY.md D5).
+- minhash_lsh: shingle -> minhash signature -> banded LSH buckets -> candidate
+  pairs -> Jaccard verify. The per-batch signature step is vectorized numpy;
+  only (band, bucket) rows cross the shuffle.
+- simhash: 64-bit simhash per doc + bucket by high bits for near-dup grouping.
+- ngram_jaccard_pairs: exact n-gram Jaccard over LSH candidates (verification
+  step, doc-pair local).
+
+All hashing is keyed blake2b/md5 (process-independent; never Python hash()).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pyarrow as pa
+from ray.data.aggregate import Min
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _text_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    hs = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+          for t in batch[text_col].to_pylist()]
+    return batch.append_column("text_hash", pa.array(hs, pa.string()))
+
+
+def exact_dedup(documents_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One row per distinct text: (text_hash, keeper id = min id).
+    hash column added vectorized per batch; the groupby is the only shuffle
+    and ships one (hash, id) pair per row."""
+    hashed = documents_ds.map_batches(
+        lambda b: _text_md5(b, text_col).select(["text_hash", id_col]),
+        batch_format="pyarrow")
+    return hashed.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+def _shingles(words: list[str], k: int) -> set[int]:
+    out = set()
+    for i in range(max(0, len(words) - k + 1)):
+        sh = " ".join(words[i:i + k])
+        h = int.from_bytes(
+            hashlib.blake2b(sh.encode("utf-8"), digest_size=8).digest(),
+            "little")
+        out.add(h & 0x7FFF_FFFF_FFFF_FFFF)  # keep within int64
+    return out
+
+
+def _perm_params(n_perm: int, seed: int = 17) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(batch: pa.Table, n_perm: int = 64, shingle_k: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc minhash signature (vectorized: one (shingles x perms) modular
+    multiply per doc)."""
+    a, b = _perm_params(n_perm)
+    ids = batch[id_col].to_pylist()
+    sigs = []
+    for t in batch[text_col].to_pylist():
+        sh = _shingles((t or "").lower().split(" "), shingle_k)
+        if not sh:
+            sigs.append(np.full(n_perm, _MERSENNE, dtype=np.int64))
+            continue
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        # (n_shingles, n_perm) hash: uint64 wraparound multiply-add then
+        # reduce mod 2^61-1 — deterministic everywhere, LSH-quality mixing
+        vals = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+        sigs.append(vals.min(axis=0).astype(np.int64))
+    return pa.table({
+        id_col: batch[id_col],
+        "signature": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
+    })
+
+
+def lsh_bands(batch: pa.Table, n_bands: int = 16,
+              id_col: str = "doc_id") -> pa.Table:
+    """Explode signatures to (band_id, band_hash, doc_id) bucket rows."""
+    ids = batch[id_col].to_pylist()
+    sigs = batch["signature"].to_pylist()
+    rows = {"band_id": [], "band_hash": [], id_col: []}
+    for did, sig in zip(ids, sigs):
+        rows_per_band = len(sig) // n_bands
+        for bnd in range(n_bands):
+            chunk = sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]
+            h = hashlib.blake2b(
+                b"|".join(str(v).encode() for v in chunk),
+                digest_size=8).hexdigest()
+            rows["band_id"].append(bnd)
+            rows["band_hash"].append(h)
+            rows[id_col].append(did)
+    return pa.table({
+        "band_id": pa.array(rows["band_id"], pa.int32()),
+        "band_hash": pa.array(rows["band_hash"], pa.string()),
+        id_col: pa.array(rows[id_col]),
+    })
+
+
+def minhash_lsh_candidates(documents_ds, n_perm: int = 64, n_bands: int = 16,
+                           shingle_k: int = 3, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+    Pipeline: map_batches(signatures) -> map_batches(bands) ->
+    groupby(band) -> per-group pair emission -> distinct pairs."""
+    import pandas as pd
+
+    sigs = documents_ds.map_batches(
+        lambda b: minhash_signatures(b, n_perm, shingle_k, id_col, text_col),
+        batch_format="pyarrow")
+    bands = sigs.map_batches(lambda b: lsh_bands(b, n_bands, id_col),
+                             batch_format="pyarrow")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        pairs = [(a, b) for a, b in itertools.combinations(ids, 2)]
+        return pd.DataFrame({"id_a": [p[0] for p in pairs],
+                             "id_b": [p[1] for p in pairs]})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pandas")
+    # distinct candidate pairs (same pair can collide in several bands)
+    from ray.data.aggregate import Count
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_shared_bands"))
+
+
+def jaccard(a: str, b: str, shingle_k: int = 3) -> float:
+    sa = _shingles(a.lower().split(" "), shingle_k)
+    sb = _shingles(b.lower().split(" "), shingle_k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text", prefix_bits: int = 16) -> pa.Table:
+    """64-bit word-feature simhash + a high-bit bucket column for grouping."""
+    ids = batch[id_col].to_pylist()
+    out_h, out_b = [], []
+    for t in batch[text_col].to_pylist():
+        acc = np.zeros(64, dtype=np.int64)
+        for w in set((t or "").lower().split(" ")):
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+                "little")
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += 2 * bits - 1
+        val = 0
+        for i in range(64):
+            if acc[i] > 0:
+                val |= (1 << i)
+        out_h.append(f"{val:016x}")
+        out_b.append(val >> (64 - prefix_bits))
+    return pa.table({
+        id_col: batch[id_col],
+        "simhash": pa.array(out_h, pa.string()),
+        "bucket": pa.array(out_b, pa.int64()),
+    })

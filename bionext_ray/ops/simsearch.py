@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: exact cosine top-k. Query matrix is broadcast once
+  (ray.put); each batch does one float64 GEMM and emits only its local top-k
+  partials; the tiny partials are merged on the driver. Nothing but the
+  per-batch top-k rows ever leaves a task.
+- lsh_topk: random-hyperplane LSH bucketing as the approximate scale path —
+  candidates share a hyperplane signature with the query; exact rerank inside
+  the candidate set only.
+
+Scores are floored to integer micro-units when exported for SQL-hash
+comparison (float formatting never crosses the oracle boundary).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    return np.array(batch[col].to_pylist(), dtype=np.float64)
+
+
+def _cosine_scores(M: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    return (M @ qn) / norms
+
+
+def brute_force_topk(embeddings_ds, query: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact top-k (id, score) by cosine vs one query vector. Returns a
+    small pyarrow Table (k rows), already merged."""
+    query = np.asarray(query, dtype=np.float64)
+    q_ref = ray.put(query)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        M = _batch_matrix(batch, vec_col)
+        if M.shape[0] == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "score": pa.array([], pa.float64())})
+        s = _cosine_scores(M, q)
+        top = np.argsort(-s)[:k]
+        return pa.table({id_col: batch[id_col].take(pa.array(top)),
+                         "score": pa.array(s[top], pa.float64())})
+
+    partials = embeddings_ds.map_batches(local_topk, batch_format="pyarrow")
+    # merge tiny partials driver-side (k rows per block)
+    rows = []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b[id_col].to_pylist(), b["score"].to_pylist()))
+    best = heapq.nsmallest(k, rows, key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        id_col: pa.array([r[0] for r in best]),
+        "score": pa.array([r[1] for r in best], pa.float64()),
+    })
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 23) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_signature(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (M @ planes.T) > 0
+    return bits @ (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+
+def lsh_topk(embeddings_ds, query: np.ndarray, k: int = 10,
+             n_planes: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 23):
+    """Approximate top-k: rerank only vectors whose hyperplane signature
+    equals the query's (expected 1/2^n_planes of the table)."""
+    query = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(len(query), n_planes, seed)
+    q_sig = int(lsh_signature(query[None, :], planes)[0])
+    refs = ray.put((query, planes))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        q, pl = ray.get(refs)
+        M = _batch_matrix(batch, vec_col)
+        if M.shape[0] == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "score": pa.array([], pa.float64())})
+        sig = lsh_signature(M, pl)
+        mask = sig == q_sig
+        idx = np.nonzero(mask)[0]
+        s = _cosine_scores(M[idx], q) if len(idx) else np.array([])
+        return pa.table({id_col: batch[id_col].take(pa.array(idx)),
+                         "score": pa.array(s, pa.float64())})
+
+    partials = embeddings_ds.map_batches(candidates, batch_format="pyarrow")
+    rows = []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b[id_col].to_pylist(), b["score"].to_pylist()))
+    best = heapq.nsmallest(k, rows, key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        id_col: pa.array([r[0] for r in best]),
+        "score": pa.array([r[1] for r in best], pa.float64()),
+    })
+
+
+def ranked_ids(topk_table: pa.Table, id_col: str = "vec_id") -> pa.Table:
+    """(rank, id) integer view of a top-k result for hash-exact comparison."""
+    return pa.table({
+        "rank": pa.array(range(1, topk_table.num_rows + 1), pa.int64()),
+        id_col: topk_table[id_col],
+    })

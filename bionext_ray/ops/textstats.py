@@ -1,0 +1,110 @@
+"""Text-analysis operators over a documents table: token counting,
+language-ID heuristic, quality scoring, document fingerprinting.
+
+All vectorized per batch (compiled regex / pandas str ops), all emitting
+integer or string columns only, so results hash-match their ANSI-SQL oracles
+exactly (no float formatting drift). Ratios are scaled to parts-per-million
+and floored.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+PUNCT_RE = re.compile(r"[^A-Za-z0-9_ ]")
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+STOP_SET = set(STOPWORDS)
+EN_STOP_RATIO_PPM = 30_000  # >=3% stopwords -> 'en'
+
+
+def _ppm(num: int, den: int) -> int:
+    return (1_000_000 * num) // den if den else 0
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array([len(TOKEN_RE.findall(t or "")) for t in texts],
+                             pa.int64()),
+    })
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """n-gram-free stopword-ratio language heuristic (ppm-scaled)."""
+    texts = batch["text"].to_pylist()
+    ratios, preds = [], []
+    for t in texts:
+        words = (t or "").lower().split(" ")
+        n_stop = sum(1 for w in words if w in STOP_SET)
+        r = _ppm(n_stop, len(words))
+        ratios.append(r)
+        preds.append("en" if r >= EN_STOP_RATIO_PPM else "other")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "stop_ppm": pa.array(ratios, pa.int64()),
+        "lang_pred": pa.array(preds, pa.string()),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Length / punctuation / mean-word-length quality signals (ints)."""
+    texts = batch["text"].to_pylist()
+    rows = {"doc_id": batch["doc_id"], "n_chars": [], "n_tokens": [],
+            "punct_ppm": [], "mean_tok_len_milli": []}
+    for t in texts:
+        t = t or ""
+        toks = TOKEN_RE.findall(t)
+        n_punct = len(PUNCT_RE.findall(t))
+        rows["n_chars"].append(len(t))
+        rows["n_tokens"].append(len(toks))
+        rows["punct_ppm"].append(_ppm(n_punct, len(t)))
+        tok_chars = sum(len(x) for x in toks)
+        rows["mean_tok_len_milli"].append((1000 * tok_chars) // len(toks) if toks else 0)
+    return pa.table({
+        "doc_id": rows["doc_id"],
+        "n_chars": pa.array(rows["n_chars"], pa.int64()),
+        "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+        "punct_ppm": pa.array(rows["punct_ppm"], pa.int64()),
+        "mean_tok_len_milli": pa.array(rows["mean_tok_len_milli"], pa.int64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Order-insensitive vocabulary fingerprint: md5 of the sorted distinct
+    space-separated lowercase words."""
+    texts = batch["text"].to_pylist()
+    fps = []
+    for t in texts:
+        vocab = sorted(set((t or "").lower().split(" ")))
+        fps.append(hashlib.md5(" ".join(vocab).encode("utf-8")).hexdigest())
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(fps, pa.string()),
+    })
+
+
+def term_count_batch(batch: pa.Table, terms: list[str]) -> pa.Table:
+    """Per-doc occurrence counts of each single-word lowercase term over the
+    space-split word sequence — the SQL-checkable face of gazetteer matching
+    (DuckDB's RE2 has no lookarounds, so the oracle splits on spaces too)."""
+    texts = batch["text"].to_pylist()
+    res = {"doc_id": [], "term": [], "n": []}
+    doc_ids = batch["doc_id"].to_pylist()
+    for did, t in zip(doc_ids, texts):
+        words = (t or "").lower().split(" ")
+        for term in terms:
+            n = sum(1 for w in words if w == term)
+            if n:
+                res["doc_id"].append(did)
+                res["term"].append(term)
+                res["n"].append(n)
+    return pa.table({
+        "doc_id": pa.array(res["doc_id"], batch["doc_id"].type),
+        "term": pa.array(res["term"], pa.string()),
+        "n": pa.array(res["n"], pa.int64()),
+    })
