@@ -53,9 +53,11 @@ def _cents(batch: pa.Table, col: str, out: str) -> pa.Table:
 # the SQL oracles)
 
 def _kg_stages(sf_dir: str):
+    from bionext_ray.ops.relational import estimate_partitions
     from bionext_ray.pipeline import kg_stage_datasets, pages_from_documents
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
     return kg_stage_datasets(pages_from_documents(sf_dir), concurrency=(1, 8),
-                             batch_size=64)
+                             batch_size=64, shuffle_partitions=sp)
 
 
 def q_kg_extract_text(sf_dir: str):
@@ -130,12 +132,23 @@ def q_term_counts(sf_dir: str):
 
 def q_dedup_exact(sf_dir: str):
     from bionext_ray.ops.dedup import exact_dedup
-    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    from bionext_ray.ops.relational import estimate_partitions
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       shuffle_partitions=sp)
 
 
 def q_minhash_candidates(sf_dir: str):
     from bionext_ray.ops.dedup import minhash_lsh_candidates
-    return minhash_lsh_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
+    from bionext_ray.ops.relational import estimate_partitions
+    import ray.data
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    # moderate block count: enough map parallelism, without paying the
+    # per-block shuffle overhead of Ray's default split (tracks input size)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=max(8, 4 * sp))
+    return minhash_lsh_candidates(ds, shuffle_partitions=sp)
 
 
 def q_simhash(sf_dir: str):

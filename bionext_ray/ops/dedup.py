@@ -30,13 +30,25 @@ def _text_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_hash", pa.array(hs, pa.string()))
 
 
-def exact_dedup(documents_ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(documents_ds, id_col: str = "doc_id", text_col: str = "text",
+                shuffle_partitions: int | None = None):
     """One row per distinct text: (text_hash, keeper id = min id).
-    hash column added vectorized per batch; the groupby is the only shuffle
-    and ships one (hash, id) pair per row."""
-    hashed = documents_ds.map_batches(
-        lambda b: _text_md5(b, text_col).select(["text_hash", id_col]),
-        batch_format="pyarrow")
+
+    Per batch: vectorized hash + in-block combine (distinct hash -> min id),
+    so only (hash, id) partials cross the shuffle. ``shuffle_partitions``
+    (from ops.relational.estimate_partitions on the input size) coalesces the
+    partials before the final groupby — the hash key is high-cardinality, so
+    the right partition count tracks the DATA size, not Ray's input block
+    heuristic."""
+    def combine(b: pa.Table) -> pa.Table:
+        t = _text_md5(b, text_col).select(["text_hash", id_col])
+        g = t.group_by(["text_hash"]).aggregate([(id_col, "min")])
+        return pa.table({"text_hash": g["text_hash"],
+                         id_col: g[f"{id_col}_min"]})
+
+    hashed = documents_ds.map_batches(combine, batch_format="pyarrow")
+    if shuffle_partitions is not None:
+        hashed = hashed.repartition(shuffle_partitions)
     return hashed.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
 
 
@@ -107,28 +119,70 @@ def lsh_bands(batch: pa.Table, n_bands: int = 16,
 
 def minhash_lsh_candidates(documents_ds, n_perm: int = 64, n_bands: int = 16,
                            shingle_k: int = 3, id_col: str = "doc_id",
-                           text_col: str = "text"):
+                           text_col: str = "text",
+                           shuffle_partitions: int | None = None):
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
     Pipeline: map_batches(signatures) -> map_batches(bands) ->
     groupby(band) -> per-group pair emission -> distinct pairs."""
     import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from .relational import partial_final_agg
 
     sigs = documents_ds.map_batches(
         lambda b: minhash_signatures(b, n_perm, shingle_k, id_col, text_col),
         batch_format="pyarrow")
     bands = sigs.map_batches(lambda b: lsh_bands(b, n_bands, id_col),
                              batch_format="pyarrow")
+    # bands is consumed twice (occupancy counts, then pair emission) and is
+    # small (n_docs x n_bands fixed-width rows, ~50 bytes/row even at 10^9
+    # docs it's checkpoint-sized) -> pin it instead of recomputing signatures
+    bands = bands.materialize()
+
+    # Most buckets hold exactly one doc; a naive groupby().map_groups walks
+    # every singleton group serially. Instead: (1) cheap counted groupby of
+    # bucket occupancy, (2) keep only collision buckets (the actual near-dup
+    # signal, normally a tiny fraction), (3) broadcast those keys, filter the
+    # band rows down to them, and only then co-locate per bucket to emit
+    # pairs. The expensive path now runs over collisions only.
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array([1] * b.num_rows, pa.int64()))
+
+    counts = partial_final_agg(
+        bands.map_batches(ones, batch_format="pyarrow"),
+        ["band_id", "band_hash"], [("one", "sum", "n")],
+        shuffle_partitions=shuffle_partitions)
+    hot = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater(b["n"], 1)),
+        batch_format="pyarrow")
+    hot_keys = {(r["band_id"], r["band_hash"])
+                for r in hot.select_columns(["band_id", "band_hash"]).take_all()}
+    if not hot_keys:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n_shared_bands": pa.array([], pa.int64())}))
+    keys_ref = ray.put(frozenset(hot_keys))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        bid = b["band_id"].to_pylist()
+        bh = b["band_hash"].to_pylist()
+        mask = pa.array([(i, h) in keys for i, h in zip(bid, bh)])
+        return b.filter(mask)
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
-        pairs = [(a, b) for a, b in itertools.combinations(ids, 2)]
+        pairs = list(itertools.combinations(ids, 2))
         return pd.DataFrame({"id_a": [p[0] for p in pairs],
                              "id_b": [p[1] for p in pairs]})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+    collisions = bands.map_batches(keep_hot, batch_format="pyarrow")
+    pairs = collisions.groupby(["band_id", "band_hash"]).map_groups(
         emit_pairs, batch_format="pandas")
     # distinct candidate pairs (same pair can collide in several bands)
-    from ray.data.aggregate import Count
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Count(alias_name="n_shared_bands"))
 

@@ -90,7 +90,8 @@ def kg_pipeline(pages_ds, kb: KnowledgeBase | None = None, concurrency=4,
 
 
 def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
-                      concurrency=4, batch_size: int = 256) -> dict:
+                      concurrency=4, batch_size: int = 256,
+                      shuffle_partitions: int | None = None) -> dict:
     """Each pipeline boundary as its own (lazy) Dataset — checkpointable."""
     kb = kb or default_kb()
     docs = extract_stage(pages_ds, batch_size=max(batch_size, 512))
@@ -107,7 +108,7 @@ def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
         "linked": linked,
         "linked_mentions": explode_mentions(linked),
         "triples": triples,
-        "canonical": canonicalize_stage(triples),
+        "canonical": canonicalize_stage(triples, shuffle_partitions=shuffle_partitions),
     }
 
 

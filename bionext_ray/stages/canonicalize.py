@@ -36,9 +36,16 @@ def _partial_agg(batch: pa.Table) -> pa.Table:
     })
 
 
-def canonicalize_stage(triples_ds):
-    """Canonical triples: subj, pred, obj, support (doc count), novel_docs."""
+def canonicalize_stage(triples_ds, shuffle_partitions: int | None = None):
+    """Canonical triples: subj, pred, obj, support (doc count), novel_docs.
+
+    ``shuffle_partitions`` coalesces the (already block-combined) partials
+    before the final groupby; size it to the expected distinct-triple volume
+    (ops.relational.estimate_partitions on the input corpus is a good proxy),
+    or leave None to follow the input block count."""
     partial = triples_ds.map_batches(_partial_agg, batch_format="pyarrow")
+    if shuffle_partitions is not None:
+        partial = partial.repartition(shuffle_partitions)
     return partial.groupby(CANONICAL_KEYS).aggregate(
         Sum("support", alias_name="support"),
         Sum("novel_docs", alias_name="novel_docs"),
