@@ -53,10 +53,15 @@ def _cents(batch: pa.Table, col: str, out: str) -> pa.Table:
 # the SQL oracles)
 
 def _kg_stages(sf_dir: str):
+    import ray
     from bionext_ray.ops.relational import estimate_partitions
     from bionext_ray.pipeline import kg_stage_datasets, pages_from_documents
     sp = estimate_partitions(f"{sf_dir}/documents.parquet")
-    return kg_stage_datasets(pages_from_documents(sf_dir), concurrency=(1, 8),
+    # actor pools autoscale to the cluster: (1, #CPUs) per stage so adding
+    # CPUs adds actors instead of queueing behind a fixed-size pool
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return kg_stage_datasets(pages_from_documents(sf_dir),
+                             concurrency=(1, max(2, ncpu)),
                              batch_size=64, shuffle_partitions=sp)
 
 

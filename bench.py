@@ -82,28 +82,95 @@ def _run_bench() -> dict:
     return result
 
 
-def _run_subprocess(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+def _run_scaling_leg(ncpu: int) -> dict:
+    """One fresh-process pipeline run over the replicated corpus."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               BENCH_SCALING_LEG="1")
     out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                          env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _run_scaling_pipeline() -> dict:
+    """Scaling-leg body: the KG pipeline over the sf corpus replicated
+    REPL_FACTOR times (deterministic doc_id suffixing). The sf0.1 corpus
+    alone finishes in seconds and is dominated by fixed startup costs; the
+    replicated corpus makes the measurement compute-bound, which is what the
+    N-vs-4N criterion is about. Same derived input at both CPU levels."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("BENCH_REPL_FACTOR", "20"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from bionext_ray.pipeline import kg_stage_datasets, pages_from_documents
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    n = base.num_rows
+    copies = []
+    for i in range(factor):
+        t = base.set_column(0, "doc_id",
+                            pa.compute.add(base["doc_id"], i * 10 * n))
+        copies.append(t)
+    big = pa.concat_tables(copies)
+
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+    pq.write_table(big, f"{tmp}/documents.parquet")
+
+    import ray as _ray
+    ncpu_avail = int(_ray.cluster_resources().get("CPU", num_cpus))
+    from bionext_ray.ops.relational import estimate_partitions
+    sp = estimate_partitions(f"{tmp}/documents.parquet")
+    stages = kg_stage_datasets(pages_from_documents(tmp),
+                               concurrency=(1, max(2, ncpu_avail)),
+                               batch_size=64, shuffle_partitions=sp)
+    t0 = time.perf_counter()
+    n_triples = stages["canonical"].count()
+    wall = time.perf_counter() - t0
+    result = {
+        "value": round(wall, 3),
+        "pages": big.num_rows,
+        "canonical_triples": n_triples,
+        "pages_per_sec": round(big.num_rows / wall, 2),
+        "triples_per_sec": round(n_triples / wall, 2),
+        "num_cpus": num_cpus,
+        "sf": sf_dir,
+        "repl_factor": factor,
+    }
+    ray.shutdown()
+    return result
+
+
 def main():
-    if "--scaling" in sys.argv:
+    if os.environ.get("BENCH_SCALING_LEG"):
+        print(json.dumps(_run_scaling_pipeline()))
+    elif "--scaling" in sys.argv:
         lo, hi = 8, 32
-        r_lo = _run_subprocess(lo)
-        r_hi = _run_subprocess(hi)
+        r_lo = _run_scaling_leg(lo)
+        r_hi = _run_scaling_leg(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(json.dumps({
             "metric": "kg_pipeline_scaling",
             "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "pages": r_lo["pages"],
             "pages_per_sec_8": r_lo["pages_per_sec"],
             "pages_per_sec_32": r_hi["pages_per_sec"],
             "triples_per_sec_8": r_lo["triples_per_sec"],
             "triples_per_sec_32": r_hi["triples_per_sec"],
             "scaling_efficiency": round(eff, 3),
             "sf": r_lo["sf"],
+            "repl_factor": r_lo["repl_factor"],
         }))
     else:
         print(json.dumps(_run_bench()))

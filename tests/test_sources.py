@@ -1,0 +1,63 @@
+"""BioC JSON source/sink round-trip and plugin surface."""
+
+import json
+
+from bionext_ray.plugins import EchoLLM, parse_llm_variant_output
+from bionext_ray.sources.bioc import bioc_file_to_table, docs_to_bioc, read_bioc_json
+
+
+def _bioc_doc():
+    return {
+        "id": "36516090",
+        "passages": [
+            {"offset": 0, "infons": {"type": "title"},
+             "text": "spark binds hash",
+             "annotations": [
+                 {"id": "0", "infons": {"type": "GeneOrGeneProduct",
+                                        "identifier": "G100"},
+                  "text": "spark",
+                  "locations": [{"offset": 0, "length": 5}]}],
+             "relations": []},
+            {"offset": 17, "infons": {"type": "abstract"},
+             "text": "a longer abstract about slow here",
+             "annotations": [], "relations": []},
+        ],
+        "relations": [],
+    }
+
+
+def test_bioc_reader_join_rule(tmp_path):
+    path = tmp_path / "pubmed_36516090.json"
+    path.write_text(json.dumps({"documents": [_bioc_doc()]}))
+    t = bioc_file_to_table(str(path))
+    row = t.to_pylist()[0]
+    # the ' ' join rule (reference src/data.py:34) and passage offset
+    assert row["text"] == "spark binds hash a longer abstract about slow here"
+    assert row["title_len"] == 17
+    assert row["mentions"][0]["label"] == "GeneOrGeneProduct"
+    assert row["mentions"][0]["linked"] == "G100"
+
+
+def test_bioc_dataset_and_roundtrip(ray_session, tmp_path):
+    for i in range(3):
+        (tmp_path / f"doc_{i}.json").write_text(
+            json.dumps({"documents": [dict(_bioc_doc(), id=str(i))]}))
+    ds = read_bioc_json(str(tmp_path))
+    table = ds.to_pandas()
+    assert len(table) == 3
+
+    import pyarrow as pa
+    back = docs_to_bioc(pa.Table.from_pandas(table))
+    assert len(back) == 3
+    doc = sorted(back, key=lambda d: d["id"])[0]
+    assert doc["passages"][0]["text"] == "spark binds hash"
+    assert doc["passages"][1]["offset"] == 17
+    ann = doc["passages"][0]["annotations"][0]
+    assert ann["locations"][0] == {"offset": 0, "length": 5}
+
+
+def test_plugin_parse():
+    out = parse_llm_variant_output("noise c|SUB|c.76A>G|0 and x|y token")
+    assert out == ["c|SUB|c.76A>G|0"]
+    llm = EchoLLM(address="local")
+    assert "c|SUB|" in llm.run("normalize the variant c.76A>G please")
