@@ -185,6 +185,40 @@ def q_simsearch_lsh(sf_dir: str):
     return ranked_ids(lsh_topk(ds, _query_vec(sf_dir), k=10, n_planes=6))
 
 
+def q_simsearch_ivf(sf_dir: str):
+    from bionext_ray.ops.simsearch import ivf_topk, ranked_ids
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ranked_ids(ivf_topk(ds, _query_vec(sf_dir), k=10))
+
+
+def q_embedding_neardup(sf_dir: str):
+    import pyarrow as pa
+    from bionext_ray.ops.dedup import embedding_neardup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.48), so the demo threshold sits below that; production near-dup
+    # would use 0.9+. Few planes -> high recall at this low threshold.
+    pairs = embedding_neardup(ds, threshold=0.35, n_planes=4).to_pandas()
+    return pa.table({
+        "id_a": pa.array(pairs.get("id_a", []), pa.int64()),
+        "id_b": pa.array(pairs.get("id_b", []), pa.int64()),
+        "cos_micro": pa.array(pairs.get("cos_micro", []), pa.int64()),
+    })
+
+
+def q_neardup_verified(sf_dir: str):
+    from bionext_ray.ops.dedup import minhash_lsh_candidates, verify_jaccard_pairs
+    from bionext_ray.ops.relational import estimate_partitions
+    import ray.data
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=max(8, 4 * sp))
+    cands = minhash_lsh_candidates(docs, shuffle_partitions=sp).to_pandas()
+    docs2 = _read(sf_dir, "documents", ["doc_id", "text"])
+    return verify_jaccard_pairs(docs2, cands, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # relational / aggregate queries (TPC-H-ish)
 
@@ -341,6 +375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_lsh": q_simsearch_lsh,
+        "simsearch_ivf": q_simsearch_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "neardup_verified": q_neardup_verified,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "orders_by_nation": q_orders_by_nation,

@@ -1,0 +1,119 @@
+"""CLI entry point — the reference's ``python main.py <input> [-t -l -e]``
+surface (/root/reference/main.py) re-expressed over Ray Data.
+
+    python -m bionext_ray pages.parquet -t -l -e --output /tmp/kg_out
+    python -m bionext_ray corpus_dir_of_bioc_json -t -l --format bioc
+
+Module toggles compose the same way as the reference (main.py:75-83),
+including the rejected tagger+extractor-without-linker combination. Output is
+checkpointed per stage under --output (resume by re-running). This script
+OWNS its Ray session (guarded init + shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bionext_ray",
+        description="Ray-Data-native BioNExt-capability KG pipeline")
+    p.add_argument("source", help="pages parquet file/dir, or BioC JSON "
+                                  "file/dir with --format bioc")
+    p.add_argument("-t", "--tagger", action="store_true", default=False)
+    p.add_argument("-l", "--linker", action="store_true", default=False)
+    p.add_argument("-e", "--extractor", action="store_true", default=False)
+    p.add_argument("--format", choices=["pages", "bioc"], default="pages")
+    p.add_argument("--output", default="/tmp/bionext_ray_out")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--concurrency", type=int, default=None,
+                   help="actor pool max size (default: cluster CPUs)")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init num_cpus (default: all)")
+    p.add_argument("--llm-api-module", default=None,
+                   help="GenericAPICall plugin ('Module' or 'pkg.mod:Cls')")
+    p.add_argument("--llm-api-address", default=None)
+    return p
+
+
+def validate_modules(args) -> None:
+    # reference rejects tagger+extractor without linker (main.py:75-83)
+    if args.tagger and args.extractor and not args.linker:
+        raise SystemExit(
+            "invalid module combination: tagger+extractor requires linker")
+    if not (args.tagger or args.linker or args.extractor):
+        raise SystemExit("pick at least one of -t/-l/-e")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    validate_modules(args)
+
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    try:
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        import ray.data
+
+        from .kb import default_kb
+        from .runtime import CheckpointRunner
+        from .stages.extract import extract_stage
+        from .stages.extractor import extractor_stage
+        from .stages.linker import linker_stage
+        from .stages.tagger import tagger_stage
+
+        kb = default_kb()
+        ncpu = args.concurrency or int(ray.cluster_resources().get("CPU", 4))
+        conc = (1, max(2, ncpu))
+        llm_spec = None
+        if args.llm_api_module:
+            llm_spec = {"module": args.llm_api_module,
+                        "kwargs": {"address": args.llm_api_address}}
+
+        if args.format == "bioc":
+            from .sources.bioc import read_bioc_json
+            ds = read_bioc_json(args.source)
+        else:
+            ds = extract_stage(ray.data.read_parquet(args.source))
+
+        runner = CheckpointRunner(args.output, input_fingerprint=args.source)
+        if args.format == "pages":
+            ds = runner.stage("docs", lambda: ds)
+        if args.tagger:
+            tagged = ds
+            ds = runner.stage(
+                "tagged", lambda: tagger_stage(tagged, kb.gazetteer,
+                                               concurrency=conc,
+                                               batch_size=args.batch_size))
+        if args.linker:
+            to_link = ds
+            ds = runner.stage(
+                "linked", lambda: linker_stage(to_link, kb, concurrency=conc,
+                                               batch_size=args.batch_size,
+                                               llm_spec=llm_spec))
+        if args.extractor:
+            linked = ds
+            triples = runner.stage(
+                "triples", lambda: extractor_stage(linked, concurrency=conc,
+                                                   batch_size=args.batch_size))
+            from .stages.canonicalize import canonicalize_stage, materialize_graph
+            canonical = runner.stage(
+                "canonical", lambda: canonicalize_stage(triples))
+            materialize_graph(canonical, f"{args.output}/graph")
+        print(json.dumps(runner.summary(), indent=2))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

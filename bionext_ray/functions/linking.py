@@ -126,7 +126,7 @@ def _link_dict_then_emb(mentions, labels, direct, emb_index):
 def link_document(mentions: list[dict], kb: KnowledgeBase,
                   chem_idx: EmbeddingIndex, dis_idx: EmbeddingIndex,
                   cell_idx: EmbeddingIndex,
-                  gene_emb_lookup) -> list[dict]:
+                  gene_emb_lookup, llm_predict=None) -> list[dict]:
     """Run the full linker over one document's mentions (in offset order).
     Mutates ``linked`` in place; returns the cleaned mention list."""
 
@@ -191,10 +191,16 @@ def link_document(mentions: list[dict], kb: KnowledgeBase,
             prediction = []
             if m["text"].lower().startswith("rs"):
                 prediction = [m["text"].lower()]
+            norm = m["text"].replace("/", ">").replace("--", "").replace(" ", "")
             if not prediction and nearest_g in kb.gene_lookup:
                 symbol = kb.gene_lookup[nearest_g]
-                norm = m["text"].replace("/", ">").replace("--", "").replace(" ", "")
                 prediction = list(kb.variant_lookup.get(f"{norm} {symbol}", []))
+            if not prediction and llm_predict is not None:
+                # optional few-shot LLM tier (seq_variant.py:445-453):
+                # mention text codon-normalized, gene as symbol if known
+                from .variant_norm import convert_amino_acids
+                sym = kb.gene_lookup.get(nearest_g, nearest_g)
+                prediction = [llm_predict(convert_amino_acids(norm), str(sym))]
             m["linked"] = prediction
     majority_vote(mentions, ("SequenceVariant",), guard_empty=True)
 

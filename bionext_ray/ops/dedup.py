@@ -221,3 +221,101 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
         "simhash": pa.array(out_h, pa.string()),
         "bucket": pa.array(out_b, pa.int64()),
     })
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_neardup(embeddings_ds, threshold: float = 0.95,
+                      n_planes: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding", seed: int = 29):
+    """Near-duplicate pairs by embedding cosine: random-hyperplane LSH
+    bucketing (cheap, shuffle ships only (bucket, id, vector) rows), then
+    exact pairwise cosine >= threshold inside each bucket. Bucket count is
+    2^n_planes — size n_planes so the expected bucket occupancy stays small
+    at the target scale."""
+    import pandas as pd
+
+    from .simsearch import _hyperplanes, lsh_signature
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        M = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        if M.shape[0] == 0:
+            return pa.table({id_col: batch[id_col],
+                             "bucket": pa.array([], pa.int64()),
+                             vec_col: batch[vec_col]})
+        planes = _hyperplanes(M.shape[1], n_planes, seed)
+        sig = lsh_signature(M, planes)
+        return pa.table({id_col: batch[id_col],
+                         "bucket": pa.array(sig, pa.int64()),
+                         vec_col: batch[vec_col]})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].tolist()
+        M = np.array(g[vec_col].tolist(), dtype=np.float64)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cos_micro": pd.Series([], dtype="int64")})
+        if len(ids) < 2:
+            return empty
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        S = (M / norms[:, None]) @ (M / norms[:, None]).T
+        out_a, out_b, out_s = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if S[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(int(np.floor(S[i, j] * 1_000_000)))
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "cos_micro": out_s})
+
+    bucketed = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket,
+                                                 batch_format="pandas")
+
+
+def verify_jaccard_pairs(documents_ds, candidate_pairs, threshold: float = 0.8,
+                         shingle_k: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Exact n-gram Jaccard verification of LSH candidate pairs. The
+    candidate set is small by construction (collision buckets only), so the
+    involved documents' texts are fetched once and broadcast; verification is
+    a stateless map over the pair rows."""
+    import ray
+
+    if isinstance(candidate_pairs, pa.Table):
+        pairs_t = candidate_pairs
+    elif hasattr(candidate_pairs, "to_arrow"):        # ray Dataset
+        pairs_t = candidate_pairs.to_arrow()
+    else:                                             # pandas DataFrame
+        pairs_t = pa.Table.from_pandas(candidate_pairs)
+    if pairs_t.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard_micro": pa.array([], pa.int64())})
+    involved = set(pairs_t["id_a"].to_pylist()) | set(pairs_t["id_b"].to_pylist())
+    inv_ref = ray.put(frozenset(involved))
+
+    def grab(batch: pa.Table) -> pa.Table:
+        keep = ray.get(inv_ref)
+        mask = pa.array([i in keep for i in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    texts_tbl = (documents_ds.map_batches(grab, batch_format="pyarrow")
+                 .select_columns([id_col, text_col]).take_all())
+    texts = {r[id_col]: r[text_col] for r in texts_tbl}
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs_t["id_a"].to_pylist(), pairs_t["id_b"].to_pylist()):
+        j = jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(int(np.floor(j * 1_000_000)))
+    return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                     "id_b": pa.array(out_b, pa.int64()),
+                     "jaccard_micro": pa.array(out_j, pa.int64())})

@@ -112,3 +112,65 @@ def ranked_ids(topk_table: pa.Table, id_col: str = "vec_id") -> pa.Table:
         "rank": pa.array(range(1, topk_table.num_rows + 1), pa.int64()),
         id_col: topk_table[id_col],
     })
+
+
+# --------------------------------------------------------------- IVF variant
+def build_ivf_centroids(sample: np.ndarray, n_centroids: int = 16,
+                        iters: int = 10, seed: int = 31) -> np.ndarray:
+    """Seeded Lloyd's k-means over a driver-side sample (the coarse
+    quantizer). Deterministic: fixed init from a seeded permutation, fixed
+    iteration count."""
+    rng = np.random.RandomState(seed)
+    n = sample.shape[0]
+    n_centroids = min(n_centroids, n)
+    C = sample[rng.permutation(n)[:n_centroids]].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            pts = sample[assign == c]
+            if len(pts):
+                C[c] = pts.mean(axis=0)
+    return C
+
+
+def ivf_topk(embeddings_ds, query: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, sample_n: int = 2048,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 31):
+    """IVF-style approximate top-k: train a coarse quantizer on a sample,
+    probe only the nprobe centroids nearest the query. Each batch computes
+    its rows' centroid assignments (one small GEMM) and scores only rows in
+    probed cells — the scale path when brute force over every row is too
+    expensive."""
+    query = np.asarray(query, dtype=np.float64)
+    sample_rows = embeddings_ds.limit(sample_n).select_columns([vec_col]).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    C = build_ivf_centroids(sample, n_centroids, seed=seed)
+    qd = ((C - query[None, :]) ** 2).sum(axis=1)
+    probed = set(np.argsort(qd)[:nprobe].tolist())
+    refs = ray.put((query, C, frozenset(probed)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, cents, cells = ray.get(refs)
+        M = _batch_matrix(batch, vec_col)
+        if M.shape[0] == 0:
+            return pa.table({id_col: batch[id_col],
+                             "score": pa.array([], pa.float64())})
+        d = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mask = np.array([a in cells for a in assign])
+        idx = np.nonzero(mask)[0]
+        s = _cosine_scores(M[idx], q) if len(idx) else np.array([])
+        return pa.table({id_col: batch[id_col].take(pa.array(idx)),
+                         "score": pa.array(s, pa.float64())})
+
+    partials = embeddings_ds.map_batches(score, batch_format="pyarrow")
+    rows = []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b[id_col].to_pylist(), b["score"].to_pylist()))
+    best = heapq.nsmallest(k, rows, key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        id_col: pa.array([r[0] for r in best]),
+        "score": pa.array([r[1] for r in best], pa.float64()),
+    })

@@ -25,9 +25,16 @@ class GenericAPICall:
 
 def load_plugin(module: str, **kwargs) -> GenericAPICall:
     """Reference-style dynamic load: module name doubles as class name
-    (/root/reference/src/linker/__init__.py:19-23)."""
-    mod = __import__(module)
-    cls = getattr(mod, module)
+    (/root/reference/src/linker/__init__.py:19-23). Also accepts the
+    explicit ``pkg.mod:ClassName`` form."""
+    import importlib
+    if ":" in module:
+        mod_name, cls_name = module.split(":", 1)
+        mod = importlib.import_module(mod_name)
+        cls = getattr(mod, cls_name)
+    else:
+        mod = __import__(module)
+        cls = getattr(mod, module)
     return cls(**kwargs)
 
 

@@ -26,7 +26,7 @@ from .tagger import MENTION_TYPE
 
 
 class LinkerStage:
-    def __init__(self, kb):
+    def __init__(self, kb, llm_spec: dict | None = None):
         if isinstance(kb, ray.ObjectRef):
             kb = ray.get(kb)
         self.kb: KnowledgeBase = kb
@@ -34,6 +34,17 @@ class LinkerStage:
         self.dis_idx = EmbeddingIndex(kb.emb.get("ctd", []), MIN_EMB_THRESHOLD, embed_batch)
         self.cell_idx = EmbeddingIndex(kb.emb.get("cellosaurus", []), MIN_EMB_THRESHOLD, embed_batch)
         self._gene_cache: dict[tuple[str, str], str] = {}
+        # optional few-shot LLM tier (T4): plugin + predictor instantiated
+        # ONCE PER ACTOR — network clients/rate limiters are actor-local
+        # (llm_spec = {"module": "MyAPICall" | "pkg.mod:Cls",
+        #              "kwargs": {...}, "examples": [(mention, code, gene)]})
+        self.llm_predict = None
+        if llm_spec:
+            from ..functions.variant_norm import LLMVariantPredictor
+            from ..plugins import load_plugin
+            plugin = load_plugin(llm_spec["module"], **llm_spec.get("kwargs", {}))
+            self.llm_predict = LLMVariantPredictor(
+                plugin, llm_spec.get("examples", []))
 
     def gene_emb_lookup(self, text: str, tax: str) -> str:
         """Per-tax gene embedding argmax > threshold, else '-'
@@ -75,7 +86,7 @@ class LinkerStage:
             cleaned = link_document(
                 [dict(m) for m in ms], self.kb,
                 self.chem_idx, self.dis_idx, self.cell_idx,
-                self.gene_emb_lookup)
+                self.gene_emb_lookup, llm_predict=self.llm_predict)
             linked.append([{k: m[k] for k in
                             ("id", "label", "text", "start_span", "end_span", "linked")}
                            for m in cleaned])
@@ -84,8 +95,8 @@ class LinkerStage:
 
 
 def linker_stage(tagged_ds, kb, concurrency=4, batch_size: int = 256,
-                 num_cpus: float = 1):
+                 num_cpus: float = 1, llm_spec: dict | None = None):
     return tagged_ds.map_batches(
-        LinkerStage, fn_constructor_args=(kb,),
+        LinkerStage, fn_constructor_args=(kb, llm_spec),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus)
