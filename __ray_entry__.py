@@ -330,6 +330,34 @@ def q_events_hourly(sf_dir: str):
                               ("one", "sum", "n_events")])
 
 
+def q_events_sessionize(sf_dir: str):
+    """Gap-based session windows per user (30-minute gap)."""
+    from bionext_ray.ops.relational import sessionize
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_s=1800, order_cols=["event_id"])
+
+
+def q_kg_stage_counts(sf_dir: str):
+    """Per-stage corpus counters (reference A5: printed counts,
+    taxonomy.py:98-108, cleaner.py:6-26) as a queryable table."""
+    import pyarrow as pa
+    stages = _kg_stages(sf_dir)
+    mentions = stages["mentions"].to_pandas()
+    linked = stages["linked_mentions"].to_pandas()
+    rows = []
+    for label, grp in mentions.groupby("label"):
+        rows.append(("detected_" + label, len(grp)))
+    for label, grp in linked.groupby("label"):
+        rows.append(("linked_" + label, len(grp)))
+    rows.append(("detected_total", len(mentions)))
+    rows.append(("linked_total", len(linked)))
+    rows.sort()
+    return pa.table({
+        "counter": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary payloads derived from documents text)
 
@@ -382,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "orders_by_nation": q_orders_by_nation,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "kg_stage_counts": q_kg_stage_counts,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -484,6 +514,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "events_sessionize": """
+            WITH ordered AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000 THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, tus,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM ordered
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(tus) AS start_us, MAX(tus) AS end_us
+            FROM sess GROUP BY user_id, session_id
         """,
         "events_hourly": """
             SELECT event_type,

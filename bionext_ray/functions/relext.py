@@ -53,9 +53,9 @@ def candidate_pairs(mentions: list[dict]) -> list[tuple[tuple, tuple]]:
     return out
 
 
-def insert_markers(text: str, mentions: list[dict], entity1: str, entity2: str) -> str:
-    """Mark every mention of the two (possibly composite) entity ids
-    (data.py:97-126)."""
+def marked_mentions(mentions: list[dict], entity1: str, entity2: str) -> list[tuple]:
+    """Mentions matched to the pair by comma-split identifier intersection
+    (data.py:99-119): [(start, end, entity_order)]."""
     r1 = set(entity1.split(","))
     r2 = set(entity2.split(","))
     marked = []
@@ -67,7 +67,13 @@ def insert_markers(text: str, mentions: list[dict], entity1: str, entity2: str) 
             elif el in r2:
                 marked.append((m["start_span"], m["end_span"], 2))
                 break
-    for start, end, order in reversed(marked):
+    return marked
+
+
+def insert_markers(text: str, mentions: list[dict], entity1: str, entity2: str) -> str:
+    """Mark every mention of the two (possibly composite) entity ids
+    (data.py:97-126)."""
+    for start, end, order in reversed(marked_mentions(mentions, entity1, entity2)):
         text = text[:end] + f"[e{order}]" + text[end:]
         text = text[:start] + f"[s{order}]" + text[start:]
     return text
@@ -92,9 +98,23 @@ def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]
     """Full doc-local extractor. ``mentions`` are the cleaned linker output.
     Returns triple rows {doc_id, subj, pred, obj, novel}."""
     doc_relations = []
-    for e1, e2 in candidate_pairs(mentions):
-        marked = insert_markers(text, mentions, e1[0], e2[0])
-        for seq_id in pair_windows(marked, e1[0], e2[0]):
+    pairs = candidate_pairs(mentions)
+    # Fast path: when the doc provably fits one window even after marker
+    # insertion, that single window contains every marker, so the expensive
+    # per-pair marker insertion + re-tokenization is skipped entirely.
+    # Bound: each of the 2 inserts per marked mention adds the marker token
+    # plus at most one token split -> tokens(marked) <= tokens(text) +
+    # 4 * n_marked. Semantics identical to the slow path (window [0] with
+    # both markers present).
+    n_tok_text = len(tokenize(text)) if pairs else 0
+    for e1, e2 in pairs:
+        marked_ms = marked_mentions(mentions, e1[0], e2[0])
+        if n_tok_text + 4 * len(marked_ms) <= MAX_VALID_LENGTH:
+            seq_ids = [0]
+        else:
+            marked = insert_markers(text, mentions, e1[0], e2[0])
+            seq_ids = pair_windows(marked, e1[0], e2[0])
+        for seq_id in seq_ids:
             rel, nov = relation_logits(doc_id, e1[0], e2[0], seq_id)
             rel_class = int(np.argmax(rel))
             if rel_class != NEGATIVE_CLASS:

@@ -50,12 +50,17 @@ class KnowledgeBase:
 
     @property
     def backup_gene(self) -> dict[str, list[str]]:
-        """Global merge of all per-tax gene aliases (genes.py:55-58)."""
-        merged: dict[str, set] = {}
-        for gene_map in self.genes.values():
-            for w, ids in gene_map.items():
-                merged.setdefault(w, set()).update(ids)
-        return {w: sorted(ids) for w, ids in merged.items()}
+        """Global merge of all per-tax gene aliases (genes.py:55-58).
+        Computed once and cached — the hot path hits this per gene mention."""
+        cached = self.__dict__.get("_backup_gene")
+        if cached is None:
+            merged: dict[str, set] = {}
+            for gene_map in self.genes.values():
+                for w, ids in gene_map.items():
+                    merged.setdefault(w, set()).update(ids)
+            cached = {w: sorted(ids) for w, ids in merged.items()}
+            self.__dict__["_backup_gene"] = cached
+        return cached
 
 
 def default_kb() -> KnowledgeBase:

@@ -125,3 +125,46 @@ def tumbling_window(events_ds, key_col: str, ts_col: str, width_s: int,
     bucketed = events_ds.map_batches(bucket, batch_format="pyarrow")
     return partial_final_agg(bucketed, [key_col, "window_start"], specs,
                              shuffle_partitions=shuffle_partitions)
+
+
+def sessionize(events_ds, key_col: str, ts_col: str, gap_s: int,
+               order_cols: list[str] | None = None,
+               value_specs: list[tuple[str, str, str]] | None = None):
+    """Gap-based session windows: per key, sort by event time (plus
+    tie-break columns), start a new session when the gap to the previous
+    event exceeds ``gap_s``. One groupby shuffle co-locates each key; the
+    windowing itself is a vectorized pandas pass per group (Ray Data has no
+    watermarks — the reference has no streaming either, SURVEY.md §2.9).
+
+    Returns (key, session_id, n_events, start_us, end_us) plus any
+    value_specs aggregates [(col, fun, alias)] with fun in {sum, min, max}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order_cols = order_cols or []
+    value_specs = value_specs or []
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col] + order_cols, kind="mergesort")
+        # robust epoch-us regardless of pandas datetime unit
+        ts = pd.to_datetime(g[ts_col]).astype("datetime64[ns]").astype("int64") // 1000
+        new_sess = (ts.diff() > gap_s * 1_000_000).fillna(False).astype(int)
+        sess = new_sess.cumsum()
+        out = {
+            key_col: [], "session_id": [], "n_events": [],
+            "start_us": [], "end_us": [],
+        }
+        for c, f, alias in value_specs:
+            out[alias] = []
+        for sid, grp in g.assign(__sess=sess, __ts=ts).groupby("__sess"):
+            out[key_col].append(grp[key_col].iloc[0])
+            out["session_id"].append(int(sid))
+            out["n_events"].append(len(grp))
+            out["start_us"].append(int(grp["__ts"].min()))
+            out["end_us"].append(int(grp["__ts"].max()))
+            for c, f, alias in value_specs:
+                out[alias].append(int(getattr(np, f)(grp[c].to_numpy())))
+        return pd.DataFrame(out)
+
+    return events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

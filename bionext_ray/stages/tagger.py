@@ -31,20 +31,27 @@ MENTION_TYPE = pa.struct([
 
 
 class TaggerStage:
-    def __init__(self, gazetteer: dict[str, str]):
+    def __init__(self, gazetteer: dict[str, str], transforms=None):
         self.matcher = GazetteerMatcher(gazetteer)  # once per actor
+        # per-mention UDF hooks (reference transform lists applied per
+        # sample, /root/reference/src/data.py:254-257): each callable takes
+        # and returns a mention dict; must be picklable (top-level fns)
+        self.transforms = list(transforms or [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         mentions = [tag_document(t, self.matcher) for t in texts]
+        for fn in self.transforms:
+            mentions = [[fn(dict(m)) for m in ms] for ms in mentions]
         return batch.append_column(
             "mentions", pa.array(mentions, pa.list_(MENTION_TYPE)))
 
 
 def tagger_stage(docs_ds, gazetteer: dict[str, str], concurrency=4,
-                 batch_size: int = 256, num_cpus: float = 1):
+                 batch_size: int = 256, num_cpus: float = 1,
+                 transforms=None):
     return docs_ds.map_batches(
-        TaggerStage, fn_constructor_args=(gazetteer,),
+        TaggerStage, fn_constructor_args=(gazetteer, transforms),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus)
 

@@ -61,3 +61,29 @@ def test_plugin_parse():
     assert out == ["c|SUB|c.76A>G|0"]
     llm = EchoLLM(address="local")
     assert "c|SUB|" in llm.run("normalize the variant c.76A>G please")
+
+
+def test_tagger_transform_hooks(ray_session):
+    """Per-mention UDF hooks (reference transforms, src/data.py:254-257).
+
+    The hook is defined INSIDE the test so cloudpickle serializes it by
+    value — module-level functions in the (non-importable-from-workers)
+    tests package would be pickled by reference and hang actor creation.
+    """
+    def _upper_mention(m):
+        m["text"] = m["text"].upper()
+        return m
+    import pyarrow as pa
+    import ray.data
+    from bionext_ray.kb import default_kb
+    from bionext_ray.stages.tagger import tagger_stage
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["d1"], pa.string()),
+        "text": pa.array(["spark binds hash"], pa.large_string()),
+        "title_len": pa.array([0], pa.int32()),
+    }))
+    tagged = tagger_stage(docs, default_kb().gazetteer, concurrency=1,
+                          batch_size=4, transforms=[_upper_mention])
+    ms = tagged.to_pandas().iloc[0]["mentions"]
+    assert {m["text"] for m in ms} == {"SPARK", "HASH"}
