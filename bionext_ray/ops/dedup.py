@@ -53,15 +53,48 @@ def exact_dedup(documents_ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # ---------------------------------------------------------------- MinHash/LSH
-def _shingles(words: list[str], k: int) -> set[int]:
-    out = set()
-    for i in range(max(0, len(words) - k + 1)):
-        sh = " ".join(words[i:i + k])
+_MIX = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd constant
+
+
+def _word_hash(w: str, memo: dict[str, int]) -> int:
+    h = memo.get(w)
+    if h is None:
         h = int.from_bytes(
-            hashlib.blake2b(sh.encode("utf-8"), digest_size=8).digest(),
+            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
             "little")
-        out.add(h & 0x7FFF_FFFF_FFFF_FFFF)  # keep within int64
-    return out
+        memo[w] = h
+    return h
+
+
+def _shingle_hashes(words: list[str], k: int,
+                    memo: dict[str, int] | None = None) -> np.ndarray:
+    """Unique k-shingle hashes as a uint64 array (63-bit range).
+
+    Each word is blake2b-hashed once (memo shared across a batch so repeated
+    vocabulary costs nothing); the k-gram hash is a vectorized polynomial
+    combine of the k word hashes — no per-shingle string join or digest."""
+    n = len(words)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    if memo is None:
+        memo = {}
+    wh = np.fromiter((_word_hash(w, memo) for w in words),
+                     dtype=np.uint64, count=n)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * _MIX + wh[j:j + m]
+        # xor-shift finalizer so low bits depend on every word
+        h ^= h >> np.uint64(31)
+        h *= _MIX
+    h &= np.uint64(0x7FFF_FFFF_FFFF_FFFF)  # keep within int64
+    return np.unique(h)
+
+
+def _shingles(words: list[str], k: int) -> set[int]:
+    """Set view of _shingle_hashes (kept for the scalar jaccard API)."""
+    return set(_shingle_hashes(words, k).tolist())
 
 
 def _perm_params(n_perm: int, seed: int = 17) -> tuple[np.ndarray, np.ndarray]:
@@ -76,18 +109,18 @@ def minhash_signatures(batch: pa.Table, n_perm: int = 64, shingle_k: int = 3,
     """Per-doc minhash signature (vectorized: one (shingles x perms) modular
     multiply per doc)."""
     a, b = _perm_params(n_perm)
-    ids = batch[id_col].to_pylist()
+    memo: dict[str, int] = {}   # word-hash cache shared across the batch
     sigs = []
-    for t in batch[text_col].to_pylist():
-        sh = _shingles((t or "").lower().split(" "), shingle_k)
-        if not sh:
-            sigs.append(np.full(n_perm, _MERSENNE, dtype=np.int64))
-            continue
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-        # (n_shingles, n_perm) hash: uint64 wraparound multiply-add then
-        # reduce mod 2^61-1 — deterministic everywhere, LSH-quality mixing
-        vals = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-        sigs.append(vals.min(axis=0).astype(np.int64))
+    with np.errstate(over="ignore"):
+        for t in batch[text_col].to_pylist():
+            x = _shingle_hashes((t or "").lower().split(" "), shingle_k, memo)
+            if x.size == 0:
+                sigs.append(np.full(n_perm, _MERSENNE, dtype=np.int64))
+                continue
+            # (n_shingles, n_perm) hash: uint64 wraparound multiply-add then
+            # reduce mod 2^61-1 — deterministic everywhere, LSH-quality mixing
+            vals = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            sigs.append(vals.min(axis=0).astype(np.int64))
     return pa.table({
         id_col: batch[id_col],
         "signature": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
@@ -96,24 +129,37 @@ def minhash_signatures(batch: pa.Table, n_perm: int = 64, shingle_k: int = 3,
 
 def lsh_bands(batch: pa.Table, n_bands: int = 16,
               id_col: str = "doc_id") -> pa.Table:
-    """Explode signatures to (band_id, band_hash, doc_id) bucket rows."""
-    ids = batch[id_col].to_pylist()
-    sigs = batch["signature"].to_pylist()
-    rows = {"band_id": [], "band_hash": [], id_col: []}
-    for did, sig in zip(ids, sigs):
-        rows_per_band = len(sig) // n_bands
-        for bnd in range(n_bands):
-            chunk = sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]
-            h = hashlib.blake2b(
-                b"|".join(str(v).encode() for v in chunk),
-                digest_size=8).hexdigest()
-            rows["band_id"].append(bnd)
-            rows["band_hash"].append(h)
-            rows[id_col].append(did)
+    """Explode signatures to (band_id, band_hash, doc_id) bucket rows.
+
+    Fully vectorized: signatures reshape to (n_docs, n_bands, rows_per_band)
+    and each band key is a polynomial combine along the last axis — one
+    int64 per band row instead of a hex digest string, so the bucket shuffle
+    ships fixed-width rows."""
+    n_docs = batch.num_rows
+    if n_docs == 0:
+        return pa.table({
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+            id_col: batch[id_col],
+        })
+    sig = np.asarray(batch["signature"].to_pylist(),
+                     dtype=np.uint64)             # (n_docs, n_perm)
+    rows_per_band = sig.shape[1] // n_bands
+    chunks = sig[:, :n_bands * rows_per_band].reshape(
+        n_docs, n_bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        h = np.zeros((n_docs, n_bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            h = h * _MIX + chunks[:, :, j]
+        h ^= h >> np.uint64(33)
+        h *= _MIX
+    h &= np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+    band_ids = np.tile(np.arange(n_bands, dtype=np.int32), n_docs)
+    doc_idx = np.repeat(np.arange(n_docs), n_bands)
     return pa.table({
-        "band_id": pa.array(rows["band_id"], pa.int32()),
-        "band_hash": pa.array(rows["band_hash"], pa.string()),
-        id_col: pa.array(rows[id_col]),
+        "band_id": pa.array(band_ids, pa.int32()),
+        "band_hash": pa.array(h.reshape(-1).astype(np.int64), pa.int64()),
+        id_col: batch[id_col].take(pa.array(doc_idx, pa.int64())),
     })
 
 
@@ -122,69 +168,84 @@ def minhash_lsh_candidates(documents_ds, n_perm: int = 64, n_bands: int = 16,
                            text_col: str = "text",
                            shuffle_partitions: int | None = None):
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
-    Pipeline: map_batches(signatures) -> map_batches(bands) ->
-    groupby(band) -> per-group pair emission -> distinct pairs."""
+
+    Exactly two exchanges, both on a low-cardinality hash-bucket key so the
+    per-key work runs vectorized INSIDE each group rather than one Python
+    call per band bucket (band buckets are ~all singletons — a per-bucket
+    map_groups walk is the classic serial trap):
+
+      signatures -> band rows -> groupby(band-key % P) ->
+        [run-length collision scan, combinations per hot key] ->
+      pair rows -> groupby(pair-key % P) -> [vectorized pandas dedup+count]
+
+    P (from ``shuffle_partitions`` = estimate_partitions on the input)
+    scales with data size; band rows are fixed-width (band_hash is int64,
+    not a digest string), so the exchange ships ~24 bytes/row."""
     import pandas as pd
 
-    import ray
-    from ray.data.aggregate import Count
-
-    from .relational import partial_final_agg
+    P = max(16, shuffle_partitions or 0)
 
     sigs = documents_ds.map_batches(
         lambda b: minhash_signatures(b, n_perm, shingle_k, id_col, text_col),
         batch_format="pyarrow")
     bands = sigs.map_batches(lambda b: lsh_bands(b, n_bands, id_col),
                              batch_format="pyarrow")
-    # bands is consumed twice (occupancy counts, then pair emission) and is
-    # small (n_docs x n_bands fixed-width rows, ~50 bytes/row even at 10^9
-    # docs it's checkpoint-sized) -> pin it instead of recomputing signatures
-    bands = bands.materialize()
 
-    # Most buckets hold exactly one doc; a naive groupby().map_groups walks
-    # every singleton group serially. Instead: (1) cheap counted groupby of
-    # bucket occupancy, (2) keep only collision buckets (the actual near-dup
-    # signal, normally a tiny fraction), (3) broadcast those keys, filter the
-    # band rows down to them, and only then co-locate per bucket to emit
-    # pairs. The expensive path now runs over collisions only.
-    def ones(b: pa.Table) -> pa.Table:
-        return b.append_column("one", pa.array([1] * b.num_rows, pa.int64()))
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bid = b["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = b["band_hash"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = bh * np.int64(1_000_003) + bid  # distinct (band,hash)->key
+        return pa.table({
+            "kbucket": pa.array(np.abs(key) % P, pa.int64()),
+            "bkey": pa.array(key, pa.int64()),
+            id_col: b[id_col],
+        })
 
-    counts = partial_final_agg(
-        bands.map_batches(ones, batch_format="pyarrow"),
-        ["band_id", "band_hash"], [("one", "sum", "n")],
-        shuffle_partitions=shuffle_partitions)
-    hot = counts.map_batches(
-        lambda b: b.filter(pa.compute.greater(b["n"], 1)),
-        batch_format="pyarrow")
-    hot_keys = {(r["band_id"], r["band_hash"])
-                for r in hot.select_columns(["band_id", "band_hash"]).take_all()}
-    if not hot_keys:
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "n_shared_bands": pa.array([], pa.int64())}))
-    keys_ref = ray.put(frozenset(hot_keys))
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["bkey"].to_numpy(), kind="stable")
+        keys = g["bkey"].to_numpy()[order]
+        ids = g[id_col].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):     # only hot keys do real work
+            if e - s > 1:
+                for a, b in itertools.combinations(sorted(ids[s:e]), 2):
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=ids.dtype),
+                             "id_b": pd.Series(out_b, dtype=ids.dtype)})
 
-    def keep_hot(b: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        bid = b["band_id"].to_pylist()
-        bh = b["band_hash"].to_pylist()
-        mask = pa.array([(i, h) in keys for i, h in zip(bid, bh)])
-        return b.filter(mask)
+    pairs = (bands.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("kbucket")
+             .map_groups(pairs_in_bucket, batch_format="pandas"))
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        pairs = list(itertools.combinations(ids, 2))
-        return pd.DataFrame({"id_a": [p[0] for p in pairs],
-                             "id_b": [p[1] for p in pairs]})
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ia.dtype, np.integer):
+            with np.errstate(over="ignore"):
+                k = ia.astype(np.int64, copy=False) * np.int64(2_654_435_761)
+        else:
+            k = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(
+                    str(x).encode(), digest_size=8).digest(), "little")
+                 for x in ia), np.uint64, len(ia)).astype(np.int64)
+        return b.append_column("pbucket",
+                               pa.array(np.abs(k) % P, pa.int64()))
 
-    collisions = bands.map_batches(keep_hot, batch_format="pyarrow")
-    pairs = collisions.groupby(["band_id", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pandas")
-    # distinct candidate pairs (same pair can collide in several bands)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_shared_bands"))
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g[["id_a", "id_b"]]
+               .groupby(["id_a", "id_b"], sort=False).size()
+               .rename("n_shared_bands").reset_index())
+        out["n_shared_bands"] = out["n_shared_bands"].astype("int64")
+        return out
+
+    # the same pair can collide in several bands (and land in several
+    # kbuckets) -> second bucketed exchange dedups and counts shared bands
+    return (pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket")
+            .map_groups(dedup_count, batch_format="pandas"))
 
 
 def jaccard(a: str, b: str, shingle_k: int = 3) -> float:
@@ -200,20 +261,24 @@ def jaccard(a: str, b: str, shingle_k: int = 3) -> float:
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
                   text_col: str = "text", prefix_bits: int = 16) -> pa.Table:
     """64-bit word-feature simhash + a high-bit bucket column for grouping."""
-    ids = batch[id_col].to_pylist()
+    memo: dict[str, int] = {}
+    bit_memo: dict[str, np.ndarray] = {}
     out_h, out_b = [], []
+    weights = np.arange(64, dtype=np.uint64)
     for t in batch[text_col].to_pylist():
+        words = set((t or "").lower().split(" "))
         acc = np.zeros(64, dtype=np.int64)
-        for w in set((t or "").lower().split(" ")):
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
-                "little")
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += 2 * bits - 1
-        val = 0
-        for i in range(64):
-            if acc[i] > 0:
-                val |= (1 << i)
+        for w in words:
+            bits = bit_memo.get(w)
+            if bits is None:
+                h = np.uint64(_word_hash(w, memo))
+                bits = ((h >> weights) & np.uint64(1)).astype(np.int64)
+                bit_memo[w] = bits
+            acc += bits
+        # acc holds ones-count; sign test is 2*acc - n_words > 0
+        pos = (2 * acc) > len(words)
+        val = int(np.bitwise_or.reduce(
+            (pos.astype(np.uint64) << weights))) if pos.any() else 0
         out_h.append(f"{val:016x}")
         out_b.append(val >> (64 - prefix_bits))
     return pa.table({
