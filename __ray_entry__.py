@@ -330,6 +330,43 @@ def q_events_hourly(sf_dir: str):
                               ("one", "sum", "n_events")])
 
 
+def q_events_last_order(sf_dir: str):
+    """For each event, the user's most recent order at or before the event
+    time (distributed as-of join; orders pre-deduped per (custkey, date) by
+    max orderkey so the join tie-break is deterministic)."""
+    from bionext_ray.ops.relational import (
+        asof_join, estimate_partitions, partial_final_agg)
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"])
+    od = partial_final_agg(orders, ["o_custkey", "o_orderdate"],
+                           [("o_orderkey", "max", "o_orderkey")],
+                           shuffle_partitions=None)
+    od = od.map_batches(
+        lambda b: pa.table({"user_id": b["o_custkey"],
+                            "o_orderdate": b["o_orderdate"],
+                            "o_orderkey": b["o_orderkey"]}),
+        batch_format="pyarrow")
+    sp = estimate_partitions([f"{sf_dir}/orders.parquet",
+                              f"{sf_dir}/events.parquet"])
+    joined = asof_join(events, od, "user_id", "ts", "o_orderdate",
+                       ["o_orderkey"], shuffle_partitions=sp)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "user_id": b["user_id"],
+            "event_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                pa.int64()),
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "order_us": pc.cast(pc.cast(b["o_orderdate"],
+                                        pa.timestamp("us")), pa.int64()),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_events_sessionize(sf_dir: str):
     """Gap-based session windows per user (30-minute gap)."""
     from bionext_ray.ops.relational import sessionize
@@ -411,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q_orders_by_nation,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_last_order": q_events_last_order,
         "kg_stage_counts": q_kg_stage_counts,
         "multimodal_features": q_multimodal_features,
     }
@@ -514,6 +552,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "events_last_order": """
+            WITH od AS (
+                SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS event_us,
+                   o.o_orderkey, epoch_us(o.o_orderdate) AS order_us
+            FROM events e ASOF JOIN od o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         """,
         "events_sessionize": """
             WITH ordered AS (

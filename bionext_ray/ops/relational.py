@@ -127,6 +127,85 @@ def tumbling_window(events_ds, key_col: str, ts_col: str, width_s: int,
                              shuffle_partitions=shuffle_partitions)
 
 
+def asof_join(left_ds, right_ds, key_col: str, left_ts: str, right_ts: str,
+              right_cols: list[str], direction: str = "backward",
+              shuffle_partitions: int | None = None, how: str = "inner"):
+    """Distributed as-of join: for each left row, the right row with the same
+    key and the greatest ``right_ts`` <= ``left_ts`` (direction="backward";
+    "forward" = least >=). Ray Data has no join operator — this is the
+    union-tag pattern: both sides are projected onto a common schema with a
+    side flag, ONE hash-bucket exchange on the key co-locates each key's rows,
+    and each bucket runs a single vectorized ``pd.merge_asof(by=key)`` (C
+    kernel) instead of one Python call per key.
+
+    Ties on ``right_ts`` resolve to the row that sorts last by
+    ``right_cols`` (deterministic max-by-payload). ``how="inner"`` drops
+    unmatched left rows (DuckDB ASOF JOIN default); "left" keeps them with
+    nulls. Scale: the exchange ships each side once; P buckets track the
+    input size via ``shuffle_partitions``."""
+    import numpy as np
+
+    P = max(16, shuffle_partitions or 0)
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    # left payload columns; left_ts travels as __ts (renamed back at the end)
+    left_cols = [c for c in left_schema.names
+                 if c not in (key_col, left_ts)]
+    ltypes = {c: left_schema.base_schema.field(c).type for c in left_cols}
+    rtypes = {c: right_schema.base_schema.field(c).type for c in right_cols}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        key = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__bucket": pa.array(np.abs(key) % P, pa.int64()),
+                "__side": pa.array([0] * b.num_rows, pa.int8()),
+                key_col: b[key_col],
+                "__ts": pa.compute.cast(b[left_ts], pa.timestamp("us"))}
+        for c in left_cols:
+            cols["l_" + c] = b[c]
+        for c in right_cols:
+            cols["r_" + c] = pa.nulls(b.num_rows, type=rtypes[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        key = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__bucket": pa.array(np.abs(key) % P, pa.int64()),
+                "__side": pa.array([1] * b.num_rows, pa.int8()),
+                key_col: b[key_col],
+                "__ts": pa.compute.cast(b[right_ts], pa.timestamp("us"))}
+        for c in left_cols:
+            cols["l_" + c] = pa.nulls(b.num_rows, type=ltypes[c])
+        for c in right_cols:
+            cols["r_" + c] = b[c]
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.select_columns([key_col, right_ts] + right_cols)
+                     .map_batches(tag_right, batch_format="pyarrow")))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0]
+        right = g[g["__side"] == 1]
+        rcols = ["r_" + c for c in right_cols]
+        left = left.sort_values("__ts", kind="mergesort")
+        right = right.sort_values(["__ts"] + rcols, kind="mergesort")
+        merged = pd.merge_asof(
+            left[[key_col, "__ts"] + ["l_" + c for c in left_cols]],
+            right[[key_col, "__ts"] + rcols].rename(
+                columns={"__ts": "__rts"}),
+            left_on="__ts", right_on="__rts", by=key_col,
+            direction=direction)
+        if how == "inner":
+            merged = merged[merged["__rts"].notna()]
+        out = merged.rename(columns={
+            **{"l_" + c: c for c in left_cols},
+            **{"r_" + c: c for c in right_cols},
+            "__ts": left_ts, "__rts": right_ts})
+        return out.reset_index(drop=True)
+
+    return tagged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas")
+
+
 def sessionize(events_ds, key_col: str, ts_col: str, gap_s: int,
                order_cols: list[str] | None = None,
                value_specs: list[tuple[str, str, str]] | None = None):

@@ -1,0 +1,137 @@
+"""Dedup operator invariants: batching must never change results (hashing is
+memoized per batch — a pure optimization), LSH must find real duplicates,
+and signatures must be deterministic across processes (keyed blake2b, never
+Python hash())."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bionext_ray.ops.dedup import (
+    _shingle_hashes, jaccard, lsh_bands, minhash_signatures, simhash_batch,
+)
+
+
+def _docs_table(texts, ids=None):
+    n = len(texts)
+    return pa.table({
+        "doc_id": pa.array(ids if ids is not None else list(range(n)),
+                           pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "the quick brown fox jumps over the lazy dog near the river bend",
+    "a completely different document about distributed data processing",
+    "",
+    "one two",          # shorter than shingle k -> no shingles
+    "the quick brown fox jumps over the lazy dog near the river bank",  # dup
+]
+
+
+def test_signatures_batch_size_invariant():
+    full = minhash_signatures(_docs_table(TEXTS))
+    # split into 1-row batches and concat: must be identical
+    parts = [minhash_signatures(_docs_table([t], ids=[i]))
+             for i, t in enumerate(TEXTS)]
+    merged = pa.concat_tables(parts)
+    assert full["signature"].to_pylist() == merged["signature"].to_pylist()
+
+
+def test_exact_duplicates_share_all_bands():
+    sigs = minhash_signatures(_docs_table(TEXTS))
+    bands = lsh_bands(sigs)
+    by_doc = {}
+    for r in bands.to_pylist():
+        by_doc.setdefault(r["doc_id"], []).append((r["band_id"], r["band_hash"]))
+    assert by_doc[0] == by_doc[5]            # identical text -> identical bands
+    # near-duplicate (one word differs) shares most but not all bands
+    shared = len(set(by_doc[0]) & set(by_doc[1]))
+    assert 0 < shared < len(by_doc[0])
+    # unrelated doc shares none
+    assert not set(by_doc[0]) & set(by_doc[2])
+
+
+def test_shingle_hashes_match_reference_loop():
+    """The vectorized polynomial combine must distinguish word order and
+    produce stable unique sets."""
+    a = _shingle_hashes("x y z x y z".split(), 3)
+    b = _shingle_hashes("z y x z y x".split(), 3)
+    assert a.dtype == np.uint64
+    assert not set(a.tolist()) == set(b.tolist())
+    # all values fit int64 (arrow list<int64> signature column)
+    assert int(a.max()) < 2 ** 63
+
+
+def test_jaccard_consistent_with_shingles():
+    assert jaccard(TEXTS[0], TEXTS[0]) == 1.0
+    j_near = jaccard(TEXTS[0], TEXTS[1])
+    j_far = jaccard(TEXTS[0], TEXTS[2])
+    assert j_far < 0.05 < j_near < 1.0
+    assert jaccard("", "") == 1.0
+
+
+def test_simhash_properties():
+    out = simhash_batch(_docs_table(TEXTS))
+    hs = out["simhash"].to_pylist()
+    assert hs[0] == hs[5]                    # identical text
+    # hamming distance: near-dup much closer than unrelated
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+    assert ham(hs[0], hs[1]) < ham(hs[0], hs[2])
+    # bucket is the high prefix_bits of the hash
+    assert out["bucket"].to_pylist()[0] == int(hs[0], 16) >> 48
+    # batch-size invariance
+    parts = [simhash_batch(_docs_table([t], ids=[i]))
+             for i, t in enumerate(TEXTS)]
+    assert pa.concat_tables(parts)["simhash"].to_pylist() == hs
+
+
+def test_minhash_lsh_candidates_end_to_end(ray_session):
+    import ray.data
+
+    from bionext_ray.ops.dedup import minhash_lsh_candidates
+    ds = ray.data.from_arrow(_docs_table(TEXTS))
+    pairs = minhash_lsh_candidates(ds).to_pandas()
+    got = {tuple(sorted((int(a), int(b))))
+           for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 5) in got                     # exact duplicate always collides
+    assert (0, 2) not in got and (2, 5) not in got
+    # exact dup shares every band
+    full = pairs[(pairs.id_a == 0) & (pairs.id_b == 5)]
+    assert int(full["n_shared_bands"].iloc[0]) == 16
+
+
+def test_asof_join_directions_and_ties(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from bionext_ray.ops.relational import asof_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "lts": pa.array([100, 250, 100, 100], pa.timestamp("us")),
+        "lv": pa.array(["a", "b", "c", "d"], pa.string()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "rts": pa.array([50, 200, 200, 300, 90], pa.timestamp("us")),
+        "rv": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    }))
+    # backward: latest rts <= lts; tie at rts=200 resolves to max rv (30)
+    out = asof_join(left, right, "k", "lts", "rts", ["rv"]).to_pandas()
+    got = {(r.k, int(r.lts.timestamp() * 1e6)): int(r.rv)
+           for r in out.itertuples()}
+    assert got == {(1, 100): 10, (1, 250): 30, (2, 100): 50}
+    # key 3 (no right rows) dropped under inner; kept with null under left
+    out_l = asof_join(left, right, "k", "lts", "rts", ["rv"],
+                      how="left").to_pandas()
+    assert len(out_l) == 4
+    assert out_l[out_l.k == 3]["rv"].isna().all()
+    # forward: earliest rts >= lts
+    out_f = asof_join(left, right, "k", "lts", "rts", ["rv"],
+                      direction="forward").to_pandas()
+    got_f = {(r.k, int(r.lts.timestamp() * 1e6)): int(r.rv)
+             for r in out_f.itertuples()}
+    assert got_f == {(1, 100): 20, (2, 100): 40}
