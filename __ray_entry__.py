@@ -60,9 +60,19 @@ def _kg_stages(sf_dir: str):
     # actor pools autoscale to the cluster: (1, #CPUs) per stage so adding
     # CPUs adds actors instead of queueing behind a fixed-size pool
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return kg_stage_datasets(pages_from_documents(sf_dir),
-                             concurrency=(1, max(2, ncpu)),
-                             batch_size=64, shuffle_partitions=sp)
+    # pool capped BELOW the CPU count: upstream read tasks need slots, and
+    # a pool equal to num_cpus starves them (deadlock); min actors > 1
+    # skips part of the autoscale ramp on short runs
+    # min actors MUST be 1: kg_stage_datasets chains tagger+linker actor
+    # pools for the per-stage views, and k pools x min actors pre-created
+    # before any input can hold every CPU and starve the read (deadlock
+    # observed at the 4-CPU test fixture with min=2)
+    pool_max = max(2, ncpu - max(1, ncpu // 8))
+    pool_min = 1
+    return kg_stage_datasets(
+        pages_from_documents(sf_dir, num_blocks=max(2 * ncpu, sp)),
+        concurrency=(pool_min, pool_max),
+        batch_size=256, shuffle_partitions=sp)
 
 
 def q_kg_extract_text(sf_dir: str):

@@ -34,7 +34,7 @@ PAGES_SCHEMA = pa.schema([
 ])
 
 
-def pages_from_documents(sf_dir: str):
+def pages_from_documents(sf_dir: str, num_blocks: int | None = None):
     """Derive a deterministic Common-Crawl-style `pages` table from the
     driver's `documents` test table. Rule (mirrored by the SQL oracles in
     __ray_entry__):
@@ -43,9 +43,15 @@ def pages_from_documents(sf_dir: str):
       rows with doc_id % 3 == 0 carry pre-extracted text (html NULL);
       all other rows carry html = <title>Doc {doc_id}</title> +
       one <p>{text}</p> (text NULL) -> extracted text 'Doc {id} {text}'.
+
+    ``num_blocks``: small inputs parse to few blocks, which caps every
+    downstream actor stage's parallelism at that block count — pass
+    ~2x cluster CPUs so the pipeline saturates (at 100 TB the natural
+    row-group split already exceeds any cluster; leave None).
     """
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang"])
+                               columns=["doc_id", "text", "lang"],
+                               override_num_blocks=num_blocks)
 
     def _to_pages(batch: pa.Table) -> pa.Table:
         import datetime
@@ -78,29 +84,36 @@ def pages_from_documents(sf_dir: str):
 
 def kg_pipeline(pages_ds, kb: KnowledgeBase | None = None, concurrency=4,
                 batch_size: int = 256):
-    """Compose pages -> doc-level triples (lazy Dataset)."""
+    """Compose pages -> doc-level triples (lazy Dataset). Tag+link+extract
+    run as ONE fused actor pool (all doc-local; see stages/fused.py)."""
+    from .stages.fused import kg_fused_stage
     kb = kb or default_kb()
     docs = extract_stage(pages_ds, batch_size=max(batch_size, 512))
-    tagged = tagger_stage(docs, kb.gazetteer, concurrency=concurrency,
+    return kg_fused_stage(docs, kb, concurrency=concurrency,
                           batch_size=batch_size)
-    linked = linker_stage(tagged, kb, concurrency=concurrency,
-                          batch_size=batch_size)
-    return extractor_stage(linked, concurrency=concurrency,
-                           batch_size=batch_size)
 
 
 def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
                       concurrency=4, batch_size: int = 256,
                       shuffle_partitions: int | None = None) -> dict:
-    """Each pipeline boundary as its own (lazy) Dataset — checkpointable."""
+    """Each pipeline boundary as its own (lazy) Dataset — checkpointable.
+
+    The intermediate boundaries (tagged/linked) use the separate actor
+    pools; the headline triples/canonical path uses the fused pool, so
+    consuming only triples pays one actor startup per worker. Both paths
+    share the per-stage classes — the parity suite pins them equal."""
+    import ray as _ray
+
+    from .stages.fused import kg_fused_stage
     kb = kb or default_kb()
+    kb_ref = _ray.put(kb)   # broadcast once; actors read zero-copy
     docs = extract_stage(pages_ds, batch_size=max(batch_size, 512))
     tagged = tagger_stage(docs, kb.gazetteer, concurrency=concurrency,
                           batch_size=batch_size)
-    linked = linker_stage(tagged, kb, concurrency=concurrency,
+    linked = linker_stage(tagged, kb_ref, concurrency=concurrency,
                           batch_size=batch_size)
-    triples = extractor_stage(linked, concurrency=concurrency,
-                              batch_size=batch_size)
+    triples = kg_fused_stage(docs, kb_ref, concurrency=concurrency,
+                             batch_size=batch_size)
     return {
         "docs": docs,
         "tagged": tagged,

@@ -1,0 +1,45 @@
+"""docs -> triples in ONE actor pool: tag + link + extract fused.
+
+Every stage between text extraction and canonicalization is doc-local
+(SURVEY.md §4 "doc-locality discipline"), so the three per-doc actor stages
+compose inside a single actor: one process startup + one KB deserialization
+per worker instead of three, and the intermediate mention list<struct>
+columns never cross the object store. The per-stage classes are reused
+verbatim — semantics are identical to running the pools separately (the
+parity suite pins both paths).
+
+The KB is broadcast: callers pass ``ray.put(kb)`` so each actor reads it
+zero-copy from the local object store instead of re-shipping the alias
+dicts + embedding shards with every actor constructor.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from .extractor import ExtractorStage
+from .linker import LinkerStage
+from .tagger import TaggerStage
+
+
+class KGFusedStage:
+    def __init__(self, kb, llm_spec: dict | None = None, transforms=None):
+        if isinstance(kb, ray.ObjectRef):
+            kb = ray.get(kb)
+        self.tag = TaggerStage(kb.gazetteer, transforms)
+        self.link = LinkerStage(kb, llm_spec)
+        self.extract = ExtractorStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.extract(self.link(self.tag(batch)))
+
+
+def kg_fused_stage(docs_ds, kb, concurrency=4, batch_size: int = 64,
+                   num_cpus: float = 1, llm_spec: dict | None = None,
+                   transforms=None):
+    kb_ref = kb if isinstance(kb, ray.ObjectRef) else ray.put(kb)
+    return docs_ds.map_batches(
+        KGFusedStage, fn_constructor_args=(kb_ref, llm_spec, transforms),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus)
