@@ -129,6 +129,47 @@ def q_quality(sf_dir: str):
         quality_batch, batch_format="pyarrow")
 
 
+def q_top_docs_per_lang(sf_dir: str):
+    """Top-3 documents per language by quality (punct_ppm asc = cleanest),
+    ties by doc_id — distributed grouped top-k (partial per-block head,
+    one bucketed exchange)."""
+    from bionext_ray.ops.dedup import exact_dedup  # noqa: F401 (same family)
+    from bionext_ray.ops.relational import grouped_topk
+    from bionext_ray.ops.textstats import quality_batch
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(b: pa.Table) -> pa.Table:
+        q = quality_batch(b.select(["doc_id", "text"]))
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "punct_ppm": q["punct_ppm"]})
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, ["lang"], "punct_ppm", k=3,
+                        descending=False, tiebreak_cols=["doc_id"])
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain page stats over the derived pages corpus (webtext
+    grouping op; the demo corpus maps every url to one domain)."""
+    from bionext_ray.ops.relational import partial_final_agg
+    from bionext_ray.pipeline import pages_from_documents
+    pages = pages_from_documents(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        domains = [u.split("/", 3)[2] for u in urls]
+        has_html = [h is not None for h in b["html"].to_pylist()]
+        return pa.table({
+            "domain": pa.array(domains, pa.string()),
+            "one": pa.array([1] * len(urls), pa.int64()),
+            "n_html": pa.array([1 if h else 0 for h in has_html], pa.int64()),
+        })
+
+    return partial_final_agg(pages.map_batches(prep, batch_format="pyarrow"),
+                             ["domain"], [("one", "sum", "n_pages"),
+                                          ("n_html", "sum", "n_html")])
+
+
 def q_fingerprint(sf_dir: str):
     from bionext_ray.ops.textstats import fingerprint_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -444,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "domain_stats": q_domain_stats,
         "term_counts": q_term_counts,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
@@ -490,6 +533,24 @@ def oracle_sql() -> dict[str, str]:
                                      x -> x IN {_STOPWORDS_SQL})))
                        // length(string_split(lower(text), ' ')) >= 30000
                         THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, punct_ppm FROM (
+                SELECT doc_id, lang,
+                       (1000000 * length(regexp_extract_all(text, '[^A-Za-z0-9_ ]')))
+                           // length(text) AS punct_ppm,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY (1000000 * length(regexp_extract_all(text, '[^A-Za-z0-9_ ]')))
+                                    // length(text) ASC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+        """,
+        "domain_stats": """
+            SELECT 'example.org' AS domain,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_html
             FROM documents
         """,
         "quality": """

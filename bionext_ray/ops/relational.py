@@ -127,6 +127,57 @@ def tumbling_window(events_ds, key_col: str, ts_col: str, width_s: int,
                              shuffle_partitions=shuffle_partitions)
 
 
+def grouped_topk(ds, key_cols: list[str], order_col: str, k: int,
+                 descending: bool = True, tiebreak_cols: list[str] | None = None,
+                 shuffle_partitions: int | None = None):
+    """Top-k rows per group, distributed: each block keeps only its local
+    top-k per key (a per-batch vectorized sort+head — the partial), so at
+    most k rows per (key, block) cross the ONE exchange; the final pass
+    re-sorts each key's <= k*blocks survivors and heads k. The exchange is
+    bucketed on hash(key) % P with the per-key work vectorized inside each
+    bucket group (same anti-singleton pattern as the LSH/as-of operators).
+
+    Deterministic: ties on ``order_col`` break by ``tiebreak_cols``
+    (ascending) — mirror it in the oracle's ROW_NUMBER() ORDER BY."""
+    import numpy as np
+
+    tiebreak_cols = tiebreak_cols or []
+    P = max(16, shuffle_partitions or 0)
+    sort_cols = key_cols + [order_col] + tiebreak_cols
+    ascending = [True] * len(key_cols) + [not descending] + \
+        [True] * len(tiebreak_cols)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+               .groupby(key_cols, sort=False).head(k))
+        key = np.zeros(len(out), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                v = out[c].to_numpy()
+                if np.issubdtype(v.dtype, np.integer):
+                    h = v.astype(np.int64, copy=False)
+                else:
+                    import hashlib
+                    # keyed digest: process-independent (never Python hash())
+                    h = np.fromiter(
+                        (int.from_bytes(hashlib.blake2b(
+                            str(x).encode(), digest_size=8).digest(),
+                            "little") for x in v),
+                        np.uint64, len(v)).astype(np.int64)
+                key = key * np.int64(1_000_003) + h
+        return out.assign(__bucket=np.abs(key) % P)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns="__bucket")
+                .sort_values(sort_cols, ascending=ascending, kind="mergesort")
+                .groupby(key_cols, sort=False).head(k)
+                .reset_index(drop=True))
+
+    return (ds.map_batches(local_topk, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(final_topk, batch_format="pandas"))
+
+
 def asof_join(left_ds, right_ds, key_col: str, left_ts: str, right_ts: str,
               right_cols: list[str], direction: str = "backward",
               shuffle_partitions: int | None = None, how: str = "inner"):

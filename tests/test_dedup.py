@@ -135,3 +135,26 @@ def test_asof_join_directions_and_ties(ray_session):
     got_f = {(r.k, int(r.lts.timestamp() * 1e6)): int(r.rv)
              for r in out_f.itertuples()}
     assert got_f == {(1, 100): 20, (2, 100): 40}
+
+
+def test_grouped_topk(ray_session):
+    import ray.data
+
+    from bionext_ray.ops.relational import grouped_topk
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "a", "b", "b", "c"], pa.string()),
+        "score": pa.array([5, 9, 9, 1, 3, 7, 2], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)   # groups span blocks
+    out = grouped_topk(ds, ["g"], "score", k=2,
+                       tiebreak_cols=["id"]).to_pandas()
+    got = {(r.g, int(r.score), int(r.id)) for r in out.itertuples()}
+    # descending by score, ties by ascending id: a -> (9,2),(9,3); b -> 7,3
+    assert got == {("a", 9, 2), ("a", 9, 3), ("b", 7, 6), ("b", 3, 5),
+                   ("c", 2, 7)}
+    # ascending variant
+    out2 = grouped_topk(ds, ["g"], "score", k=1, descending=False,
+                        tiebreak_cols=["id"]).to_pandas()
+    got2 = {(r.g, int(r.score)) for r in out2.itertuples()}
+    assert got2 == {("a", 1), ("b", 3), ("c", 2)}
