@@ -37,16 +37,20 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner",
 
 
 def semi_join_filter(big_ds, keys: set, key_col: str, batch_size: int = 8192):
-    """Semi-join: keep rows whose key is in the broadcast key set."""
-    ref = ray.put(frozenset(keys))
+    """Semi-join: keep rows whose key is in the broadcast key set
+    (vectorized pc.is_in against a value set built once per actor)."""
+    ref = ray.put(sorted(keys))
 
     class FilterFn:
         def __init__(self):
-            self.keys = ray.get(ref)
+            import pyarrow.compute as pc
+            self.value_set = pa.array(ray.get(ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            mask = pa.array([k in self.keys for k in batch[key_col].to_pylist()])
+            mask = pc.is_in(batch[key_col],
+                            value_set=self.value_set.cast(
+                                batch.schema.field(key_col).type))
             return batch.filter(mask)
 
     return big_ds.map_batches(FilterFn, batch_format="pyarrow",

@@ -158,3 +158,18 @@ def test_grouped_topk(ray_session):
                         tiebreak_cols=["id"]).to_pandas()
     got2 = {(r.g, int(r.score)) for r in out2.itertuples()}
     assert got2 == {("a", 1), ("b", 3), ("c", 2)}
+
+
+def test_semi_join_filter(ray_session):
+    import ray.data
+
+    from bionext_ray.ops.relational import semi_join_filter
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array(list("abcde"), pa.string()),
+    }))
+    out = semi_join_filter(ds, {2, 4, 9}, "k").to_pandas()
+    assert sorted(out["v"]) == ["b", "d"]
+    # string keys
+    ds2 = ray.data.from_arrow(pa.table({"k": pa.array(list("xyz"))}))
+    assert semi_join_filter(ds2, {"y"}, "k").count() == 1
