@@ -115,6 +115,94 @@ class CheckpointRunner:
                 for name, m in self.metrics.items()}
 
 
+def run_kg_partitioned(input_files: list[str], root: str, kb=None,
+                       n_partitions: int = 8, concurrency=4,
+                       batch_size: int = 256,
+                       pages_fn=None) -> dict:
+    """Partition-level resumable KG run (north rule: "resumable from
+    checkpoint with per-partition lineage + metrics").
+
+    The unit of resume is an INPUT-FILE GROUP: the input file list is
+    deterministically split into ``n_partitions`` groups, each group runs
+    the fused pages->triples pipeline independently and lands its doc-level
+    triples under ``<root>/triples/part=<i>/`` via temp-dir + atomic rename
+    with a per-partition manifest (input files + fingerprint + row counts +
+    wall time). A rerun after a mid-run failure skips every partition whose
+    manifest matches and recomputes only the missing ones — at 100 TB each
+    group is thousands of files and the loop body is itself a fully
+    distributed Ray Data pipeline, so sequential groups still saturate the
+    cluster while bounding the blast radius of a failure.
+
+    ``pages_fn(ds) -> pages_ds`` optionally adapts raw input rows to the
+    pages schema (the test corpus derives pages from documents rows).
+    Returns {"partitions": [...manifests...], "resumed": n, "computed": n}.
+    """
+    import ray.data
+
+    from .kb import default_kb
+    from .stages.extract import extract_stage
+    from .stages.fused import kg_fused_stage
+
+    kb = kb or default_kb()
+    groups = [sorted(input_files)[i::n_partitions]
+              for i in range(n_partitions)]
+    triples_root = os.path.join(root, "triples")
+    os.makedirs(triples_root, exist_ok=True)
+    out = {"partitions": [], "resumed": 0, "computed": 0}
+    for i, group in enumerate(groups):
+        if not group:
+            continue
+        # fingerprint = paths + size + mtime (metadata only — no data scan;
+        # catches rewritten inputs without reading 100 TB)
+        fp = fingerprint("kg-part", *(
+            f"{p}:{os.path.getsize(p)}:{int(os.path.getmtime(p) * 1e6)}"
+            for p in group))
+        part_dir = os.path.join(triples_root, f"part={i}")
+        man = _read_manifest(part_dir)
+        if man and man.get("fingerprint") == fp:
+            out["partitions"].append({**man, "resumed": True})
+            out["resumed"] += 1
+            continue
+        tmp_dir = part_dir + ".tmp"
+        for d in (tmp_dir, part_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(group)
+        pages = pages_fn(ds) if pages_fn else ds
+        triples = kg_fused_stage(extract_stage(pages), kb,
+                                 concurrency=concurrency,
+                                 batch_size=batch_size)
+        triples.write_parquet(tmp_dir)
+        wall = time.perf_counter() - t0
+        import pyarrow.parquet as pq
+        files = sorted(f for f in os.listdir(tmp_dir)
+                       if f.endswith(".parquet"))
+        rows = sum(pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+                   for f in files)
+        manifest = {"partition": i, "fingerprint": fp,
+                    "input_files": group, "rows": rows,
+                    "wall_sec": round(wall, 3),
+                    "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                  time.gmtime())}
+        with open(os.path.join(tmp_dir, MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(tmp_dir, part_dir)
+        out["partitions"].append({**manifest, "resumed": False})
+        out["computed"] += 1
+    return out
+
+
+def read_partitioned_triples(root: str):
+    """All completed partitions' doc-level triples as one Dataset."""
+    import ray.data
+    triples_root = os.path.join(root, "triples")
+    dirs = sorted(os.path.join(triples_root, d)
+                  for d in os.listdir(triples_root)
+                  if d.startswith("part=") and not d.endswith(".tmp"))
+    return ray.data.read_parquet(dirs, file_extensions=["parquet"])
+
+
 def run_kg_checkpointed(pages_ds, root: str, kb=None, concurrency=4,
                         batch_size: int = 256,
                         input_fingerprint: str = "pages-v1",

@@ -59,3 +59,48 @@ def test_fingerprint_change_invalidates(pages_ds, tmp_path):
     _, runner = run_kg_checkpointed(pages_ds, root, concurrency=1,
                                     batch_size=8, input_fingerprint="v2")
     assert all(not m["resumed"] for m in runner.metrics.values())
+
+
+def test_partitioned_resume(ray_session, tmp_path):
+    """Partition-level resume: a failed/missing partition recomputes alone;
+    completed partitions are skipped by manifest fingerprint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bionext_ray.runtime import read_partitioned_triples, run_kg_partitioned
+
+    # 4 input files of 10 pages each
+    files = []
+    for i in range(4):
+        t = make_pages(10, seed=100 + i)
+        p = str(tmp_path / f"pages_{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+    root = str(tmp_path / "run")
+
+    r1 = run_kg_partitioned(files, root, n_partitions=2, concurrency=1,
+                            batch_size=8)
+    assert r1["computed"] == 2 and r1["resumed"] == 0
+    full = read_partitioned_triples(root).to_pandas()
+    assert len(full) > 0
+
+    # full rerun: everything resumes, nothing recomputes
+    r2 = run_kg_partitioned(files, root, n_partitions=2, concurrency=1,
+                            batch_size=8)
+    assert r2["computed"] == 0 and r2["resumed"] == 2
+
+    # simulate a mid-run failure: kill partition 1's checkpoint
+    shutil.rmtree(os.path.join(root, "triples", "part=1"))
+    r3 = run_kg_partitioned(files, root, n_partitions=2, concurrency=1,
+                            batch_size=8)
+    assert r3["computed"] == 1 and r3["resumed"] == 1
+    full3 = read_partitioned_triples(root).to_pandas()
+    key = ["doc_id", "subj", "pred", "obj"]
+    assert (full3.sort_values(key).reset_index(drop=True)[key]
+            .equals(full.sort_values(key).reset_index(drop=True)[key]))
+
+    # changed input -> stale fingerprint -> recompute
+    pq.write_table(make_pages(10, seed=999), files[0])
+    r4 = run_kg_partitioned(files, root, n_partitions=2, concurrency=1,
+                            batch_size=8)
+    assert r4["computed"] == 1 and r4["resumed"] == 1
