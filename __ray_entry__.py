@@ -418,6 +418,33 @@ def q_events_last_order(sf_dir: str):
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_events_followups(sf_dir: str):
+    """Self range join: pairs of events by the same user where the second
+    falls strictly within 1 hour after the first (distributed band join)."""
+    from bionext_ray.ops.relational import estimate_partitions, range_join
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda b: pa.table({"event_id2": b["event_id"],
+                            "user_id": b["user_id"], "ts2": b["ts"]}),
+        batch_format="pyarrow")
+    sp = estimate_partitions(f"{sf_dir}/events.parquet")
+    joined = range_join(left, right, "user_id", "ts", "ts2", width_s=3600,
+                        left_cols=["event_id"], right_cols=["event_id2"],
+                        shuffle_partitions=sp)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "e1": pc.cast(b["event_id"], pa.int64()),
+            "e2": pc.cast(b["event_id2"], pa.int64()),
+            "t1_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+            "t2_us": pc.cast(pc.cast(b["ts2"], pa.timestamp("us")), pa.int64()),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_events_sessionize(sf_dir: str):
     """Gap-based session windows per user (30-minute gap)."""
     from bionext_ray.ops.relational import sessionize
@@ -501,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q_orders_by_nation,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_followups": q_events_followups,
         "events_last_order": q_events_last_order,
         "kg_stage_counts": q_kg_stage_counts,
         "multimodal_features": q_multimodal_features,
@@ -633,6 +661,14 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, epoch_us(o.o_orderdate) AS order_us
             FROM events e ASOF JOIN od o
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        """,
+        "events_followups": """
+            SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+                   epoch_us(a.ts) AS t1_us, epoch_us(b.ts) AS t2_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 1 HOUR
         """,
         "events_sessionize": """
             WITH ordered AS (

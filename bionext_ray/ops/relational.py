@@ -131,6 +131,97 @@ def tumbling_window(events_ds, key_col: str, ts_col: str, width_s: int,
                              shuffle_partitions=shuffle_partitions)
 
 
+def range_join(left_ds, right_ds, key_col: str, left_ts: str, right_ts: str,
+               width_s: int, left_cols: list[str], right_cols: list[str],
+               strict_after: bool = True,
+               shuffle_partitions: int | None = None):
+    """Distributed range (band) join: for each left row, all right rows with
+    the same key whose ``right_ts`` falls in
+    (left_ts, left_ts + width_s]  (strict_after=True; [left_ts, ...] else).
+
+    Same union-tag + ONE bucketed exchange as asof_join; inside each bucket
+    the band match is vectorized per key with two ``np.searchsorted`` calls
+    over the key's sorted right timestamps (no per-left-row Python work —
+    match ranges expand via repeat/arange). Scales as long as per-key match
+    counts are bounded (output rows = matches, as any band join).
+    """
+    import numpy as np
+
+    P = max(16, shuffle_partitions or 0)
+    l_t = {c: left_ds.schema().base_schema.field(c).type for c in left_cols}
+    r_t = {c: right_ds.schema().base_schema.field(c).type for c in right_cols}
+
+    def tag(side: int, ts_col, own_cols, own_types, other_cols, other_types):
+        def fn(b: pa.Table) -> pa.Table:
+            key = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {"__bucket": pa.array(np.abs(key) % P, pa.int64()),
+                    "__side": pa.array([side] * b.num_rows, pa.int8()),
+                    key_col: b[key_col],
+                    "__ts": pa.compute.cast(b[ts_col], pa.timestamp("us"))}
+            for c in own_cols:
+                cols[("l_" if side == 0 else "r_") + c] = b[c]
+            for c in other_cols:
+                cols[("r_" if side == 0 else "l_") + c] = pa.nulls(
+                    b.num_rows, type=other_types[c])
+            return pa.table(cols)
+        return fn
+
+    tagged = (left_ds.select_columns([key_col, left_ts] + left_cols)
+              .map_batches(tag(0, left_ts, left_cols, l_t, right_cols, r_t),
+                           batch_format="pyarrow")
+              .union(right_ds.select_columns([key_col, right_ts] + right_cols)
+                     .map_batches(tag(1, right_ts, right_cols, r_t,
+                                      left_cols, l_t),
+                                  batch_format="pyarrow")))
+
+    lcols = ["l_" + c for c in left_cols]
+    rcols = ["r_" + c for c in right_cols]
+    width_us = np.int64(width_s) * 1_000_000
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0]
+        right = g[g["__side"] == 1].sort_values([key_col, "__ts"],
+                                                kind="mergesort")
+        out = []
+        rts_all = right["__ts"].astype("datetime64[ns]").astype(
+            "int64").to_numpy() // 1000
+        for key, lg in left.groupby(key_col, sort=False):
+            rsel = right[key_col].to_numpy() == key
+            if not rsel.any():
+                continue
+            rts = rts_all[rsel]
+            ridx = np.flatnonzero(rsel)
+            lts = lg["__ts"].astype("datetime64[ns]").astype(
+                "int64").to_numpy() // 1000
+            side = "right" if strict_after else "left"
+            lo = np.searchsorted(rts, lts, side=side)
+            hi = np.searchsorted(rts, lts + width_us, side="right")
+            counts = hi - lo
+            if counts.sum() == 0:
+                continue
+            # expand [lo_i, hi_i) ranges without a per-row loop
+            li = np.repeat(np.arange(len(lg)), counts)
+            offs = np.arange(int(counts.sum())) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            ri = ridx[np.repeat(lo, counts) + offs]
+            part = {key_col: np.repeat(key, len(li)),
+                    left_ts: lg["__ts"].to_numpy()[li],
+                    right_ts: right["__ts"].to_numpy()[ri]}
+            for c in lcols:
+                part[c[2:]] = lg[c].to_numpy()[li]
+            for c in rcols:
+                part[c[2:]] = right[c].to_numpy()[ri]
+            out.append(pd.DataFrame(part))
+        if not out:
+            cols = {key_col: [], left_ts: [], right_ts: []}
+            cols.update({c: [] for c in left_cols + right_cols})
+            return pd.DataFrame(cols)
+        return pd.concat(out, ignore_index=True)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket,
+                                                 batch_format="pandas")
+
+
 def grouped_topk(ds, key_cols: list[str], order_col: str, k: int,
                  descending: bool = True, tiebreak_cols: list[str] | None = None,
                  shuffle_partitions: int | None = None):

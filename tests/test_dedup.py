@@ -173,3 +173,34 @@ def test_semi_join_filter(ray_session):
     # string keys
     ds2 = ray.data.from_arrow(pa.table({"k": pa.array(list("xyz"))}))
     assert semi_join_filter(ds2, {"y"}, "k").count() == 1
+
+
+def test_range_join(ray_session):
+    import ray.data
+
+    from bionext_ray.ops.relational import range_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lts": pa.array([1_000_000, 5_000_000, 1_000_000], pa.timestamp("us")),
+        "lid": pa.array([10, 11, 12], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "rts": pa.array([1_000_000, 2_000_000, 6_000_000, 9_000_000],
+                        pa.timestamp("us")),
+        "rid": pa.array([20, 21, 22, 23], pa.int64()),
+    }))
+    # window (lts, lts+2s]: strict lower bound, inclusive upper
+    out = range_join(left, right, "k", "lts", "rts", width_s=2,
+                     left_cols=["lid"], right_cols=["rid"]).to_pandas()
+    got = {(int(r.lid), int(r.rid)) for r in out.itertuples()}
+    # lid=10 (t=1s): rts in (1,3] -> rid 21 only (rid 20 at exactly 1s excluded)
+    # lid=11 (t=5s): rts in (5,7] -> rid 22
+    # lid=12 (k=2, t=1s): rts in (1,3] -> nothing (23 at 9s)
+    assert got == {(10, 21), (11, 22)}
+    # inclusive lower bound picks up the equal timestamp
+    out2 = range_join(left, right, "k", "lts", "rts", width_s=2,
+                      left_cols=["lid"], right_cols=["rid"],
+                      strict_after=False).to_pandas()
+    got2 = {(int(r.lid), int(r.rid)) for r in out2.itertuples()}
+    assert got2 == {(10, 20), (10, 21), (11, 22)}
