@@ -170,6 +170,15 @@ def q_domain_stats(sf_dir: str):
                                           ("n_html", "sum", "n_html")])
 
 
+def q_sample_documents(sf_dir: str):
+    """25% deterministic hash sample of documents (reproducible at any
+    parallelism; md5-mirrored in the SQL oracle)."""
+    from bionext_ray.ops.textstats import hash_sample_batch
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda b: hash_sample_batch(b, "doc_id", 0.25, seed="7"),
+        batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     from bionext_ray.ops.textstats import fingerprint_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -512,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "sample_documents": q_sample_documents,
         "top_docs_per_lang": q_top_docs_per_lang,
         "domain_stats": q_domain_stats,
         "term_counts": q_term_counts,
@@ -580,6 +590,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
                         AS BIGINT) AS n_html
             FROM documents
+        """,
+        "sample_documents": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-7'), 1, 8)
+                  < '3fffffff'
         """,
         "quality": """
             SELECT doc_id,

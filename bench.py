@@ -44,8 +44,9 @@ def _run_bench() -> dict:
     bench_queries = [
         "kg_triples", "dedup_exact", "minhash_candidates", "simhash",
         "simsearch_topk", "pricing_summary", "top_customers",
-        "orders_by_nation", "events_hourly", "token_count", "lang_id",
-        "fingerprint",
+        "orders_by_nation", "events_hourly", "events_sessionize",
+        "events_last_order", "events_followups", "top_docs_per_lang",
+        "token_count", "lang_id", "fingerprint", "sample_documents",
     ]
 
     per_query = {}

@@ -108,3 +108,23 @@ def term_count_batch(batch: pa.Table, terms: list[str]) -> pa.Table:
         "term": pa.array(res["term"], pa.string()),
         "n": pa.array(res["n"], pa.int64()),
     })
+
+
+def hash_sample_batch(batch, key_col: str, fraction: float, seed: str = "0"):
+    """Deterministic hash sample: keep a row iff the first 8 hex chars of
+    md5("{key}-{seed}") sort below the fraction threshold. Stable across
+    processes, machines and reruns (never Python hash()); the same rows are
+    kept at any parallelism, so sampled pipelines are reproducible and
+    resumable. SQL-mirrorable: substr(md5(key || '-' || seed), 1, 8) <
+    threshold.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    threshold = format(int(fraction * 0xFFFFFFFF), "08x")
+    keys = batch[key_col].to_pylist()
+    mask = pa.array([
+        hashlib.md5(f"{k}-{seed}".encode()).hexdigest()[:8] < threshold
+        for k in keys])
+    return batch.filter(mask)
