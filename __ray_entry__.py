@@ -266,6 +266,14 @@ def q_embedding_neardup(sf_dir: str):
     })
 
 
+def q_embedding_pairs_exact(sf_dir: str):
+    """Exact cosine>=0.35 pair set (broadcast-GEMM baseline for the LSH
+    near-dup path; SQL-verified via list_cosine_similarity)."""
+    from bionext_ray.ops.dedup import embedding_pairs_exact
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_pairs_exact(ds, threshold=0.35)
+
+
 def q_neardup_verified(sf_dir: str):
     from bionext_ray.ops.dedup import minhash_lsh_candidates, verify_jaccard_pairs
     from bionext_ray.ops.relational import estimate_partitions
@@ -532,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simsearch_lsh": q_simsearch_lsh,
         "simsearch_ivf": q_simsearch_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
         "neardup_verified": q_neardup_verified,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -595,6 +604,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-7'), 1, 8)
                   < '3fffffff'
+        """,
+        "embedding_pairs_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.35
         """,
         "quality": """
             SELECT doc_id,

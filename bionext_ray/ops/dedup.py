@@ -343,6 +343,49 @@ def embedding_neardup(embeddings_ds, threshold: float = 0.95,
                                                  batch_format="pandas")
 
 
+def embedding_pairs_exact(embeddings_ds, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding"):
+    """ALL embedding pairs with cosine >= threshold, exactly: the normalized
+    matrix is broadcast once (ray.put, zero-copy per task) and every batch
+    GEMMs its rows against it — O(n^2) work split row-wise across the
+    cluster, one emit per qualifying pair (id_a < id_b).
+
+    This is the verifiable BASELINE for ``embedding_neardup`` (the LSH
+    variant is the scale path: it buckets first and only rescans inside
+    buckets, trading recall for avoiding the n^2). Use this one when n
+    fits a broadcast matrix (n x dim x 4 bytes), the LSH one beyond."""
+    import ray
+
+    mat_t = pa.concat_tables(
+        ray.get(embeddings_ds.select_columns([id_col, vec_col])
+                .to_arrow_refs()))
+    ids_all = mat_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = np.array(mat_t[vec_col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mn = M / norms[:, None]
+    ref = ray.put((ids_all, Mn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all_, Mn_ = ray.get(ref)
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        B = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        if B.shape[0] == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        nb = np.linalg.norm(B, axis=1)
+        nb[nb == 0] = 1.0
+        S = (B / nb[:, None]) @ Mn_.T              # (batch, n)
+        ii, jj = np.nonzero(S >= threshold)
+        a = ids_b[ii]
+        b = ids_all_[jj]
+        keep = a < b                                # dedup + drop self
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    return embeddings_ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def verify_jaccard_pairs(documents_ds, candidate_pairs, threshold: float = 0.8,
                          shingle_k: int = 3, id_col: str = "doc_id",
                          text_col: str = "text"):
