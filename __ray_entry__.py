@@ -510,6 +510,35 @@ def q_multimodal_features(sf_dir: str):
     return feats.drop_columns(["payload"])
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video-style fan-out plumbing: one binary row -> K frame rows
+    (deterministic fake sampler; real decoder drops into the same stage)."""
+    from bionext_ray.ops.multimodal import sample_video_frames
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([(t or "").encode("utf-8")
+                                 for t in batch["text"].to_pylist()],
+                                pa.binary()),
+        })
+
+    frames = sample_video_frames(
+        ds.map_batches(to_payload, batch_format="pyarrow"),
+        every_n=2, fake=True, batch_size=32)
+
+    def meta_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "frame_idx": b["frame_idx"],
+            "frame_bytes": pc.binary_length(b["frame"]),
+        })
+
+    return frames.map_batches(meta_only, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -551,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": q_events_last_order,
         "kg_stage_counts": q_kg_stage_counts,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
