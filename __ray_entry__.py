@@ -472,17 +472,27 @@ def q_events_sessionize(sf_dir: str):
 def q_kg_stage_counts(sf_dir: str):
     """Per-stage corpus counters (reference A5: printed counts,
     taxonomy.py:98-108, cleaner.py:6-26) as a queryable table."""
-    import pyarrow as pa
+    from bionext_ray.ops.relational import partial_final_agg
     stages = _kg_stages(sf_dir)
-    mentions = stages["mentions"].to_pandas()
-    linked = stages["linked_mentions"].to_pandas()
-    rows = []
-    for label, grp in mentions.groupby("label"):
-        rows.append(("detected_" + label, len(grp)))
-    for label, grp in linked.groupby("label"):
-        rows.append(("linked_" + label, len(grp)))
-    rows.append(("detected_total", len(mentions)))
-    rows.append(("linked_total", len(linked)))
+
+    def count_by_label(ds, prefix):
+        # distributed: in-block combine per label, tiny final groupby —
+        # only (label, count) partials reach the driver
+        def ones(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "counter": pa.compute.binary_join_element_wise(
+                    pa.array([prefix] * b.num_rows), b["label"].cast(pa.string()), "_"),
+                "one": pa.array([1] * b.num_rows, pa.int64())})
+        agg = partial_final_agg(ds.map_batches(ones, batch_format="pyarrow"),
+                                ["counter"], [("one", "sum", "n")])
+        return agg.to_pandas()
+
+    det = count_by_label(stages["mentions"], "detected")
+    lnk = count_by_label(stages["linked_mentions"], "linked")
+    rows = [(r.counter, int(r.n)) for r in det.itertuples()]
+    rows += [(r.counter, int(r.n)) for r in lnk.itertuples()]
+    rows.append(("detected_total", int(det["n"].sum())))
+    rows.append(("linked_total", int(lnk["n"].sum())))
     rows.sort()
     return pa.table({
         "counter": pa.array([r[0] for r in rows], pa.string()),
