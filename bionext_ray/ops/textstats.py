@@ -26,11 +26,14 @@ def _ppm(num: int, den: int) -> int:
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
+    import pyarrow.compute as pc
+    text = pc.coalesce(batch["text"], "")
     return pa.table({
         "doc_id": batch["doc_id"],
-        "n_tokens": pa.array([len(TOKEN_RE.findall(t or "")) for t in texts],
-                             pa.int64()),
+        # RE2 kernel over the whole column — non-overlapping matches,
+        # identical to len(TOKEN_RE.findall(t))
+        "n_tokens": pc.cast(pc.count_substring_regex(
+            text, r"[A-Za-z0-9_]+"), pa.int64()),
     })
 
 
@@ -52,25 +55,31 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
-    """Length / punctuation / mean-word-length quality signals (ints)."""
-    texts = batch["text"].to_pylist()
-    rows = {"doc_id": batch["doc_id"], "n_chars": [], "n_tokens": [],
-            "punct_ppm": [], "mean_tok_len_milli": []}
-    for t in texts:
-        t = t or ""
-        toks = TOKEN_RE.findall(t)
-        n_punct = len(PUNCT_RE.findall(t))
-        rows["n_chars"].append(len(t))
-        rows["n_tokens"].append(len(toks))
-        rows["punct_ppm"].append(_ppm(n_punct, len(t)))
-        tok_chars = sum(len(x) for x in toks)
-        rows["mean_tok_len_milli"].append((1000 * tok_chars) // len(toks) if toks else 0)
+    """Length / punctuation / mean-word-length quality signals (ints).
+    Fully vectorized: every count is an RE2 column kernel; the floored
+    ratios use int64 numpy arithmetic, matching the SQL oracle exactly."""
+    import numpy as np
+    import pyarrow.compute as pc
+    text = pc.coalesce(batch["text"], "")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+    n_tokens = pc.cast(pc.count_substring_regex(
+        text, r"[A-Za-z0-9_]+"), pa.int64()).to_numpy()
+    n_punct = pc.cast(pc.count_substring_regex(
+        text, r"[^A-Za-z0-9_ ]"), pa.int64()).to_numpy()
+    tok_chars = pc.cast(pc.count_substring_regex(
+        text, r"[A-Za-z0-9_]"), pa.int64()).to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        punct_ppm = np.where(n_chars > 0,
+                             (1_000_000 * n_punct) // np.maximum(n_chars, 1),
+                             0)
+        mean_tok = np.where(n_tokens > 0,
+                            (1000 * tok_chars) // np.maximum(n_tokens, 1), 0)
     return pa.table({
-        "doc_id": rows["doc_id"],
-        "n_chars": pa.array(rows["n_chars"], pa.int64()),
-        "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
-        "punct_ppm": pa.array(rows["punct_ppm"], pa.int64()),
-        "mean_tok_len_milli": pa.array(rows["mean_tok_len_milli"], pa.int64()),
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "punct_ppm": pa.array(punct_ppm, pa.int64()),
+        "mean_tok_len_milli": pa.array(mean_tok, pa.int64()),
     })
 
 
