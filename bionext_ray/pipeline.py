@@ -95,7 +95,8 @@ def kg_pipeline(pages_ds, kb: KnowledgeBase | None = None, concurrency=4,
 
 def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
                       concurrency=4, batch_size: int = 256,
-                      shuffle_partitions: int | None = None) -> dict:
+                      shuffle_partitions: int | None = None,
+                      check_schemas: bool = False) -> dict:
     """Each pipeline boundary as its own (lazy) Dataset — checkpointable.
 
     The intermediate boundaries (tagged/linked) use the separate actor
@@ -114,15 +115,27 @@ def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
                           batch_size=batch_size)
     triples = kg_fused_stage(docs, kb_ref, concurrency=concurrency,
                              batch_size=batch_size)
-    return {
+    out = {
         "docs": docs,
         "tagged": tagged,
         "mentions": explode_mentions(tagged),
         "linked": linked,
         "linked_mentions": explode_mentions(linked),
         "triples": triples,
-        "canonical": canonicalize_stage(triples, shuffle_partitions=shuffle_partitions),
+        "canonical": canonicalize_stage(triples,
+                                        shuffle_partitions=shuffle_partitions),
     }
+    if check_schemas:
+        # opt-in: schema inference on a LAZY dataset executes a sample
+        # block per boundary (~1 s each) — pinned in tests, not per query
+        from . import schemas
+        for name, expected in (("docs", schemas.DOCS),
+                               ("tagged", schemas.TAGGED),
+                               ("linked", schemas.TAGGED),
+                               ("triples", schemas.TRIPLES),
+                               ("canonical", schemas.CANONICAL)):
+            schemas.check_schema(out[name], expected, name)
+    return out
 
 
 def run_kg_to_graph(pages_ds, out_dir: str, kb: KnowledgeBase | None = None,

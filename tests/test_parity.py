@@ -90,3 +90,15 @@ def test_canonical_support_sums(ray_outputs, oracle_outputs):
     assert len(got) == len(exp)
     for col in ["subj", "pred", "obj", "support", "novel_docs"]:
         assert got[col].astype(str).tolist() == exp[col].astype(str).tolist(), col
+
+
+def test_boundary_schemas_pinned(ray_session):
+    """Every pipeline boundary matches its declared schema (SURVEY.md
+    §1.2/§1.3): names AND types, checked via the opt-in boundary check."""
+    import ray.data
+
+    from bionext_ray.fixtures import make_pages
+    from bionext_ray.pipeline import kg_stage_datasets
+    pages = ray.data.from_arrow(make_pages(6, seed=2))
+    # raises AssertionError on any boundary drift
+    kg_stage_datasets(pages, concurrency=1, batch_size=8, check_schemas=True)
