@@ -402,15 +402,13 @@ def q_events_last_order(sf_dir: str):
     """For each event, the user's most recent order at or before the event
     time (distributed as-of join; orders pre-deduped per (custkey, date) by
     max orderkey so the join tie-break is deterministic)."""
-    from bionext_ray.ops.relational import (
-        asof_join, estimate_partitions, partial_final_agg)
+    from bionext_ray.ops.relational import asof_join, estimate_partitions
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    orders = _read(sf_dir, "orders",
-                   ["o_custkey", "o_orderdate", "o_orderkey"])
-    od = partial_final_agg(orders, ["o_custkey", "o_orderdate"],
-                           [("o_orderkey", "max", "o_orderkey")],
-                           shuffle_partitions=None)
-    od = od.map_batches(
+    # no pre-dedup groupby needed: asof_join's tie-break (right side sorted
+    # by ts THEN payload, last wins) already picks the max o_orderkey among
+    # equal (custkey, orderdate) rows — exactly the oracle's dedup CTE
+    od = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
         lambda b: pa.table({"user_id": b["o_custkey"],
                             "o_orderdate": b["o_orderdate"],
                             "o_orderkey": b["o_orderkey"]}),

@@ -354,42 +354,62 @@ def asof_join(left_ds, right_ds, key_col: str, left_ts: str, right_ts: str,
 
 def sessionize(events_ds, key_col: str, ts_col: str, gap_s: int,
                order_cols: list[str] | None = None,
-               value_specs: list[tuple[str, str, str]] | None = None):
+               value_specs: list[tuple[str, str, str]] | None = None,
+               shuffle_partitions: int | None = None):
     """Gap-based session windows: per key, sort by event time (plus
     tie-break columns), start a new session when the gap to the previous
-    event exceeds ``gap_s``. One groupby shuffle co-locates each key; the
-    windowing itself is a vectorized pandas pass per group (Ray Data has no
-    watermarks — the reference has no streaming either, SURVEY.md §2.9).
+    event exceeds ``gap_s`` (Ray Data has no watermarks — the reference has
+    no streaming either, SURVEY.md §2.9).
+
+    ONE exchange on hash(key) % P; inside each bucket the whole
+    sessionization is a single vectorized pandas pass over ALL keys (sort,
+    shift-compare for key change / gap break, cumsum session ids, C-level
+    groupby for the aggregates) — never one Python call per key.
 
     Returns (key, session_id, n_events, start_us, end_us) plus any
     value_specs aggregates [(col, fun, alias)] with fun in {sum, min, max}.
     """
     import numpy as np
-    import pandas as pd
 
     order_cols = order_cols or []
     value_specs = value_specs or []
+    P = max(16, shuffle_partitions or 0)
+    gap_us = np.int64(gap_s) * 1_000_000
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col] + order_cols, kind="mergesort")
-        # robust epoch-us regardless of pandas datetime unit
-        ts = pd.to_datetime(g[ts_col]).astype("datetime64[ns]").astype("int64") // 1000
-        new_sess = (ts.diff() > gap_s * 1_000_000).fillna(False).astype(int)
-        sess = new_sess.cumsum()
-        out = {
-            key_col: [], "session_id": [], "n_events": [],
-            "start_us": [], "end_us": [],
-        }
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__bucket",
+                               pa.array(np.abs(key) % P, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col] + order_cols, kind="mergesort")
+        ts = (g[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+              ).to_numpy()
+        key = g[key_col].to_numpy()
+        new_key = np.r_[True, key[1:] != key[:-1]]
+        gap_break = np.r_[False, (ts[1:] - ts[:-1]) > gap_us]
+        new_sess = new_key | gap_break
+        gsid = np.cumsum(new_sess)                 # global session number
+        # per-key session_id = gsid - gsid at the key's first row
+        first_of_key = np.where(new_key, gsid, 0)
+        base = np.maximum.accumulate(first_of_key)
+        sid = gsid - base
+        agg_src = g.assign(__sid=sid, __ts=ts)
+        specs = {"n_events": ("__ts", "size"),
+                 "start_us": ("__ts", "min"), "end_us": ("__ts", "max")}
         for c, f, alias in value_specs:
-            out[alias] = []
-        for sid, grp in g.assign(__sess=sess, __ts=ts).groupby("__sess"):
-            out[key_col].append(grp[key_col].iloc[0])
-            out["session_id"].append(int(sid))
-            out["n_events"].append(len(grp))
-            out["start_us"].append(int(grp["__ts"].min()))
-            out["end_us"].append(int(grp["__ts"].max()))
-            for c, f, alias in value_specs:
-                out[alias].append(int(getattr(np, f)(grp[c].to_numpy())))
-        return pd.DataFrame(out)
+            specs[alias] = (c, f)
+        out = (agg_src.groupby([key_col, "__sid"], sort=True)
+               .agg(**specs).reset_index()
+               .rename(columns={"__sid": "session_id"}))
+        out["session_id"] = out["session_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        for col in ("start_us", "end_us"):
+            out[col] = out[col].astype("int64")
+        for c, f, alias in value_specs:
+            out[alias] = out[alias].astype("int64")
+        return out
 
-    return events_ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
