@@ -87,3 +87,53 @@ def test_tagger_transform_hooks(ray_session):
                           batch_size=4, transforms=[_upper_mention])
     ms = tagged.to_pandas().iloc[0]["mentions"]
     assert {m["text"] for m in ms} == {"SPARK", "HASH"}
+
+
+import os
+
+import pytest
+
+REF_GOLD = "/root/reference/outputs"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_GOLD),
+                    reason="reference golden outputs not present")
+def test_reads_reference_golden_files():
+    """Format-compatibility proof: the BioC reader consumes the reference's
+    OWN golden per-stage outputs (a reference user can hand this engine the
+    files their pipeline produces today). Checks the documented shapes:
+    2 passages, ' '-joined text, absolute spans, linked identifiers, and
+    the extractor's R{n} relations (subj/obj are KB identifiers)."""
+    # tagger output: annotations present, identifier still "-"
+    t = bioc_file_to_table(f"{REF_GOLD}/tagger/pubmed_36516090.json")
+    row = t.to_pylist()[0]
+    assert row["doc_id"] == "36516090"
+    assert row["title_len"] > 0
+    # title_len is the abstract passage offset (= len(title) + 1, the
+    # reference's routing convention) -> the single-space join sits before it
+    assert row["text"][row["title_len"] - 1] == " "
+    assert len(row["mentions"]) > 0
+    assert all(m["linked"] == "-" for m in row["mentions"])
+    # spans are absolute into the joined text
+    for m in row["mentions"][:10]:
+        assert row["text"][m["start_span"]:m["end_span"]] == m["text"]
+
+    # linker output: same doc, identifiers resolved for some mentions
+    tl = bioc_file_to_table(f"{REF_GOLD}/linker/pubmed_36516090.json")
+    rowl = tl.to_pylist()[0]
+    assert rowl["text"] == row["text"]
+    assert any(m["linked"] not in ("-", None) for m in rowl["mentions"])
+
+    # extractor output: R{n} relations over linked identifiers
+    import json as _json
+    with open(f"{REF_GOLD}/extractor/pubmed_36516090.json") as f:
+        doc = _json.load(f)["documents"][0]
+    rels = doc["relations"]
+    assert rels and all(r["id"].startswith("R") for r in rels)
+    linked_ids = {m["linked"] for m in
+                  bioc_file_to_table(
+                      f"{REF_GOLD}/extractor/pubmed_36516090.json"
+                  ).to_pylist()[0]["mentions"]}
+    for r in rels[:10]:
+        assert r["infons"]["entity1"] in linked_ids
+        assert r["infons"]["entity2"] in linked_ids
