@@ -460,6 +460,22 @@ def q_events_followups(sf_dir: str):
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_events_props_stats(sf_dir: str):
+    """JSON-column op: parse events.props, extract $.k, aggregate per
+    event_type (partial+final)."""
+    from bionext_ray.ops.relational import partial_final_agg
+    from bionext_ray.ops.textstats import json_extract_int_batch
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    parsed = ds.map_batches(
+        lambda b: json_extract_int_batch(b, "props", "k", "k")
+        .drop_columns(["props"]),
+        batch_format="pyarrow")
+    return partial_final_agg(parsed, ["event_type"],
+                             [("k", "sum", "sum_k"),
+                              ("k", "max", "max_k"),
+                              ("k", "count", "n")])
+
+
 def q_events_sessionize(sf_dir: str):
     """Gap-based session windows per user (30-minute gap)."""
     from bionext_ray.ops.relational import sessionize
@@ -585,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_followups": q_events_followups,
+        "events_props_stats": q_events_props_stats,
         "events_last_order": q_events_last_order,
         "kg_stage_counts": q_kg_stage_counts,
         "multimodal_features": q_multimodal_features,
@@ -731,6 +748,14 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, epoch_us(o.o_orderdate) AS order_us
             FROM events e ASOF JOIN od o
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        """,
+        "events_props_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+                   COUNT(json_extract(props, '$.k')) AS n
+            FROM events GROUP BY event_type
         """,
         "events_followups": """
             SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,

@@ -137,3 +137,21 @@ def hash_sample_batch(batch, key_col: str, fraction: float, seed: str = "0"):
         hashlib.md5(f"{k}-{seed}".encode()).hexdigest()[:8] < threshold
         for k in keys])
     return batch.filter(mask)
+
+
+def json_extract_int_batch(batch, json_col: str, field: str, out: str):
+    """Extract an integer field from a JSON string column (the reference
+    parses JSONL KB rows with json.loads per line — chemicals.py:55-57;
+    same semantics here, C-level json parse per row, null on missing/bad)."""
+    import json
+
+    import pyarrow as pa
+
+    vals = []
+    for raw in batch[json_col].to_pylist():
+        try:
+            v = json.loads(raw)[field] if raw else None
+            vals.append(int(v) if v is not None else None)
+        except (ValueError, KeyError, TypeError):
+            vals.append(None)
+    return batch.append_column(out, pa.array(vals, pa.int64()))
