@@ -19,28 +19,27 @@ import numpy as np
 
 def _hash_floats(key: str, n: int) -> np.ndarray:
     """n floats in [0, 1) derived from blake2b(key)."""
-    out = np.empty(n, dtype=np.float64)
     h = hashlib.blake2b(key.encode("utf-8"), digest_size=4 * n).digest()
-    for i in range(n):
-        out[i] = int.from_bytes(h[4 * i:4 * i + 4], "little") / 2**32
-    return out
+    return np.frombuffer(h, dtype="<u4", count=n).astype(np.float64) / 2**32
 
 
 def relation_logits(doc_id: str, entity1: str, entity2: str,
                     sequence_id: int) -> tuple[np.ndarray, np.ndarray]:
     """Return (relation_logits[9], novelty_logits[2]) for one sample.
 
-    The argmax relation class is uniform over the 9 classes (8 =
+    ONE keyed digest per sample: bytes 0-35 -> 9 relation floats, 36-43 ->
+    2 novelty floats, bytes 44/45 pick the boosted argmax classes. The
+    argmax relation class is ~uniform over the 9 classes (8 =
     Negative_Class drops the pair, /root/reference/src/extractor/__init__.py:
     80-82), boosted by +4 so softmax is confident but fusable.
     """
-    key = f"{doc_id}|{entity1}|{entity2}|{sequence_id}"
-    rel = _hash_floats("rel:" + key, 9)
-    rel[int.from_bytes(hashlib.blake2b(("relc:" + key).encode(),
-                                       digest_size=8).digest(), "little") % 9] += 4.0
-    nov = _hash_floats("nov:" + key, 2)
-    nov[int.from_bytes(hashlib.blake2b(("novc:" + key).encode(),
-                                       digest_size=8).digest(), "little") % 2] += 4.0
+    key = f"{doc_id}|{entity1}|{entity2}|{sequence_id}".encode("utf-8")
+    h = hashlib.blake2b(key, digest_size=48).digest()
+    v = np.frombuffer(h, dtype="<u4", count=11).astype(np.float64) / 2**32
+    rel = v[:9].copy()
+    nov = v[9:11].copy()
+    rel[h[44] % 9] += 4.0
+    nov[h[45] % 2] += 4.0
     return rel, nov
 
 
