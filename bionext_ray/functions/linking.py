@@ -42,6 +42,7 @@ from ..kb import KnowledgeBase
 
 
 def _is_type(m: dict, *labels: str) -> bool:
+    # kept for API parity; hot paths inline the membership test
     return m["label"] in labels
 
 
@@ -54,11 +55,11 @@ def majority_vote(mentions: list[dict], labels: tuple[str, ...],
     /root/reference/src/linker/taxonomy.py:76-92)."""
     id_entities: dict[str, list] = defaultdict(list)
     for m in mentions:
-        if _is_type(m, *labels) and isinstance(m["linked"], list):
+        if m["label"] in labels and isinstance(m["linked"], list):
             for lid in m["linked"]:
                 id_entities[lid].append(m["id"])
     for m in mentions:
-        if _is_type(m, *labels) and isinstance(m["linked"], list):
+        if m["label"] in labels and isinstance(m["linked"], list):
             cands = [(lid, len(id_entities[lid])) for lid in m["linked"]]
             if guard_empty and not cands:
                 m["linked"] = "-"
@@ -113,7 +114,7 @@ class EmbeddingIndex:
 def _link_dict_then_emb(mentions, labels, direct, emb_index):
     """Shared chemicals/diseases/cells cascade: lowercased direct match, else
     embedding tier; '-' on total miss (chemicals.py:101-116)."""
-    targets = [m for m in mentions if _is_type(m, *labels)]
+    targets = [m for m in mentions if m["label"] in labels]
     need_emb = [m for m in targets if not direct.get(m["text"].lower())]
     emb_hits = emb_index.lookup_many([m["text"] for m in need_emb]) if need_emb else {}
     for m in targets:
@@ -133,7 +134,7 @@ def link_document(mentions: list[dict], kb: KnowledgeBase,
     # ---- taxonomy (taxonomy.py:67-92)
     tax_direct = kb.direct.get("OrganismTaxon", {})
     for m in mentions:
-        if _is_type(m, "OrganismTaxon", "Organism"):
+        if m["label"] in ("OrganismTaxon", "Organism",):
             if m["text"] in tax_direct:
                 m["linked"] = [tax_direct[m["text"]][0]] if isinstance(
                     tax_direct[m["text"]], list) else [tax_direct[m["text"]]]
@@ -151,11 +152,11 @@ def link_document(mentions: list[dict], kb: KnowledgeBase,
 
     # ---- genes (genes.py:107-160)
     organism_ids = [(m["linked"], m["start_span"]) for m in mentions
-                    if _is_type(m, "OrganismTaxon", "Organism")]
+                    if m["label"] in ("OrganismTaxon", "Organism",)]
     if not organism_ids:
         organism_ids.append(("9606", 0))
     for m in mentions:
-        if _is_type(m, "GeneOrGeneProduct", "Gene"):
+        if m["label"] in ("GeneOrGeneProduct", "Gene",):
             distance = 10_000_000
             nearest_org = "9606"  # deviation: reference leaks the loop var
             for org_id, org_start in organism_ids:
@@ -178,9 +179,9 @@ def link_document(mentions: list[dict], kb: KnowledgeBase,
 
     # ---- sequence variants (seq_variant.py:386-481)
     gene_ids = [(m["linked"], m["start_span"]) for m in mentions
-                if _is_type(m, "GeneOrGeneProduct", "Gene")]
+                if m["label"] in ("GeneOrGeneProduct", "Gene",)]
     for m in mentions:
-        if _is_type(m, "SequenceVariant"):
+        if m["label"] in ("SequenceVariant",):
             nearest_g = None
             distance = 10_000_000
             for gid, gstart in gene_ids:
