@@ -117,6 +117,12 @@ def q_token_count(sf_dir: str):
         token_count_batch, batch_format="pyarrow")
 
 
+def q_bpe_token_count(sf_dir: str):
+    from bionext_ray.ops.textstats import bpe_token_count_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir: str):
     from bionext_ray.ops.textstats import lang_id_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -579,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_canonical_triples": q_kg_canonical_triples,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -624,6 +631,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id,
                    length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS n_bpe_tokens
             FROM documents
         """,
         "lang_id": f"""

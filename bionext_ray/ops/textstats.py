@@ -155,3 +155,25 @@ def json_extract_int_batch(batch, json_col: str, field: str, out: str):
         except (ValueError, KeyError, TypeError):
             vals.append(None)
     return batch.append_column(out, pa.array(vals, pa.int64()))
+
+
+# GPT-2-style pretokenizer, RE2-compatible (no lookarounds — RE2 backs both
+# the pyarrow kernel and DuckDB, so the count matches the SQL oracle):
+# contraction suffixes | space?letters | space?digits | space?punct-run |
+# whitespace runs
+BPE_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+          r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_count_batch(batch):
+    """BPE-ish token count (subword-pretokenizer granularity) per doc —
+    the cheap stand-in for tokenizer-based length filtering in a
+    training-data pipeline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    text = pc.coalesce(batch["text"], "")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, BPE_RE),
+                                pa.int64()),
+    })
