@@ -129,6 +129,14 @@ def q_lang_id(sf_dir: str):
         lang_id_batch, batch_format="pyarrow")
 
 
+def q_lang_id_ngram(sf_dir: str):
+    """Character-trigram language ID (rows-only: set-intersection scoring
+    is not SQL-expressible; determinism pinned by tests)."""
+    from bionext_ray.ops.textstats import lang_id_ngram_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lang_id_ngram_batch, batch_format="pyarrow")
+
+
 def q_quality(sf_dir: str):
     from bionext_ray.ops.textstats import quality_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -587,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "sample_documents": q_sample_documents,

@@ -177,3 +177,54 @@ def bpe_token_count_batch(batch):
         "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, BPE_RE),
                                 pa.int64()),
     })
+
+
+# character-trigram profiles per language, built deterministically from seed
+# text at import (the classic n-gram language-ID heuristic; hermetic, no
+# model files). Coverage = fraction of the doc's trigrams seen in a
+# language's profile; argmax wins, 'und' when every coverage is ~0.
+_LANG_SEEDS = {
+    "en": "the quick brown fox jumps over the lazy dog and then it was "
+          "there are many things that we should know about this world",
+    "de": "der schnelle braune fuchs springt ueber den faulen hund und "
+          "dann war es gibt viele dinge die wir wissen sollten ueber",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et "
+          "alors il y a beaucoup de choses que nous devrions savoir sur",
+    "es": "el rapido zorro marron salta sobre el perro perezoso y "
+          "entonces hay muchas cosas que deberiamos saber sobre este",
+}
+
+
+def _trigrams(t: str) -> set[str]:
+    t = " " + t.lower() + " "
+    return {t[i:i + 3] for i in range(len(t) - 2)}
+
+
+_LANG_PROFILES = {lang: _trigrams(seed) for lang, seed in _LANG_SEEDS.items()}
+
+
+def lang_id_ngram_batch(batch, min_coverage_ppm: int = 120_000):
+    """Character n-gram language ID: per doc, coverage of its trigrams by
+    each language profile (ppm); argmax language, 'und' below the floor."""
+    import pyarrow as pa
+
+    langs = sorted(_LANG_PROFILES)
+    preds, covs = [], []
+    for t in batch["text"].to_pylist():
+        grams = _trigrams(t or "")
+        if not grams:
+            preds.append("und")
+            covs.append(0)
+            continue
+        scores = [(len(grams & _LANG_PROFILES[lg]) * 1_000_000 // len(grams),
+                   lg) for lg in langs]
+        best_cov, best_lang = max(scores)
+        if best_cov < min_coverage_ppm:
+            best_lang = "und"
+        preds.append(best_lang)
+        covs.append(best_cov)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "lang_pred": pa.array(preds, pa.string()),
+        "coverage_ppm": pa.array(covs, pa.int64()),
+    })

@@ -204,3 +204,22 @@ def test_range_join(ray_session):
                       strict_after=False).to_pandas()
     got2 = {(int(r.lid), int(r.rid)) for r in out2.itertuples()}
     assert got2 == {(10, 20), (10, 21), (11, 22)}
+
+
+def test_lang_id_ngram():
+    from bionext_ray.ops.textstats import lang_id_ngram_batch
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "the quick thing that we know about the world over there",
+            "der hund springt ueber viele dinge die wir wissen",
+            "le chien saute sur beaucoup de choses que nous savons",
+            "zzzz qqqq xxxx",
+        ], pa.string()),
+    })
+    out = lang_id_ngram_batch(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "und"]
+    # deterministic across batch splits
+    parts = pa.concat_tables([lang_id_ngram_batch(t.slice(i, 1))
+                              for i in range(4)])
+    assert parts["lang_pred"].to_pylist() == out["lang_pred"].to_pylist()
