@@ -637,37 +637,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length('Doc ' || doc_id) + 1 END AS title_len
             FROM documents
         """,
+        # All textstats oracles COALESCE(text, '') and zero-guard divisions so
+        # they mirror the engine's zero-safe kernels on empty/NULL documents
+        # (the engine emits 0, never NULL, for token-free text).
         "token_count": """
             SELECT doc_id,
-                   length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+                   length(regexp_extract_all(COALESCE(text, ''),
+                                             '[A-Za-z0-9_]+')) AS n_tokens
             FROM documents
         """,
         "bpe_token_count": """
             SELECT doc_id,
-                   length(regexp_extract_all(text,
+                   length(regexp_extract_all(COALESCE(text, ''),
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS n_bpe_tokens
             FROM documents
         """,
         "lang_id": f"""
-            SELECT doc_id,
-                   (1000000 * length(list_filter(string_split(lower(text), ' '),
-                                     x -> x IN {_STOPWORDS_SQL})))
-                       // length(string_split(lower(text), ' ')) AS stop_ppm,
-                   CASE WHEN (1000000 * length(list_filter(string_split(lower(text), ' '),
-                                     x -> x IN {_STOPWORDS_SQL})))
-                       // length(string_split(lower(text), ' ')) >= 30000
+            SELECT doc_id, stop_ppm,
+                   CASE WHEN stop_ppm >= 30000
                         THEN 'en' ELSE 'other' END AS lang_pred
-            FROM documents
+            FROM (
+                SELECT doc_id,
+                       (1000000 * length(list_filter(string_split(lower(t), ' '),
+                                         x -> x IN {_STOPWORDS_SQL})))
+                           // length(string_split(lower(t), ' ')) AS stop_ppm
+                FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+            )
         """,
         "top_docs_per_lang": """
             SELECT doc_id, lang, punct_ppm FROM (
-                SELECT doc_id, lang,
-                       (1000000 * length(regexp_extract_all(text, '[^A-Za-z0-9_ ]')))
-                           // length(text) AS punct_ppm,
+                SELECT doc_id, lang, punct_ppm,
                        ROW_NUMBER() OVER (PARTITION BY lang
-                           ORDER BY (1000000 * length(regexp_extract_all(text, '[^A-Za-z0-9_ ]')))
-                                    // length(text) ASC, doc_id ASC) AS rn
-                FROM documents
+                           ORDER BY punct_ppm ASC, doc_id ASC) AS rn
+                FROM (
+                    SELECT doc_id, lang,
+                           CASE WHEN length(t) > 0 THEN
+                               (1000000 * length(regexp_extract_all(t, '[^A-Za-z0-9_ ]')))
+                                   // length(t)
+                           ELSE 0 END AS punct_ppm
+                    FROM (SELECT doc_id, lang, COALESCE(text, '') AS t
+                          FROM documents)
+                )
             ) WHERE rn <= 3
         """,
         "domain_stats": """
@@ -691,27 +701,35 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.35
         """,
         "quality": """
-            SELECT doc_id,
-                   length(text) AS n_chars,
-                   length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
-                   (1000000 * length(regexp_extract_all(text, '[^A-Za-z0-9_ ]')))
-                       // length(text) AS punct_ppm,
-                   (1000 * length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g')))
-                       // length(regexp_extract_all(text, '[A-Za-z0-9_]+'))
-                       AS mean_tok_len_milli
-            FROM documents
+            SELECT doc_id, n_chars, n_tokens,
+                   CASE WHEN n_chars > 0
+                        THEN (1000000 * n_punct) // n_chars
+                        ELSE 0 END AS punct_ppm,
+                   CASE WHEN n_tokens > 0
+                        THEN (1000 * tok_chars) // n_tokens
+                        ELSE 0 END AS mean_tok_len_milli
+            FROM (
+                SELECT doc_id,
+                       length(t) AS n_chars,
+                       length(regexp_extract_all(t, '[A-Za-z0-9_]+')) AS n_tokens,
+                       length(regexp_extract_all(t, '[^A-Za-z0-9_ ]')) AS n_punct,
+                       length(regexp_replace(t, '[^A-Za-z0-9_]', '', 'g')) AS tok_chars
+                FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+            )
         """,
         "fingerprint": """
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
-                       string_split(lower(text), ' '))), ' ')) AS fingerprint
+                       string_split(lower(COALESCE(text, '')), ' '))), ' '))
+                       AS fingerprint
             FROM documents
         """,
         "term_counts": f"""
             SELECT doc_id, term, n FROM (
                 SELECT d.doc_id, t.term,
-                       length(list_filter(string_split(lower(d.text), ' '),
-                                          x -> x = t.term)) AS n
+                       length(list_filter(
+                           string_split(lower(COALESCE(d.text, '')), ' '),
+                           x -> x = t.term)) AS n
                 FROM documents d, (VALUES {terms_values}) AS t(term)
             ) WHERE n > 0
         """,

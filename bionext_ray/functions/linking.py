@@ -41,11 +41,6 @@ from collections import defaultdict
 from ..kb import KnowledgeBase
 
 
-def _is_type(m: dict, *labels: str) -> bool:
-    # kept for API parity; hot paths inline the membership test
-    return m["label"] in labels
-
-
 def majority_vote(mentions: list[dict], labels: tuple[str, ...],
                   correction: dict[str, str] | None = None,
                   guard_empty: bool = False) -> None:
@@ -86,7 +81,12 @@ class EmbeddingIndex:
         self.cache_size = cache_size
 
     def lookup_many(self, texts: list[str]) -> dict[str, list[str]]:
-        """One GEMM per shard over the batch's unique uncached surfaces."""
+        """One GEMM per shard over the batch's unique uncached surfaces.
+
+        Computed results are always returned, even when the bounded memo is
+        full and the insert is skipped — a full cache degrades to recompute,
+        never to a silent miss."""
+        computed: dict[str, list[str]] = {}
         todo = sorted({t for t in texts if t not in self.cache})
         if todo:
             Q = self.embed_batch([t.lower() for t in todo])  # (n, dim)
@@ -106,9 +106,10 @@ class EmbeddingIndex:
                     res = [best_ids[i][j]]
                 else:
                     res = []
+                computed[t] = res
                 if len(self.cache) < self.cache_size:
                     self.cache[t] = res
-        return {t: self.cache.get(t, []) for t in set(texts)}
+        return {t: computed.get(t, self.cache.get(t, [])) for t in set(texts)}
 
 
 def _link_dict_then_emb(mentions, labels, direct, emb_index):

@@ -38,19 +38,28 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    """n-gram-free stopword-ratio language heuristic (ppm-scaled)."""
-    texts = batch["text"].to_pylist()
-    ratios, preds = [], []
-    for t in texts:
-        words = (t or "").lower().split(" ")
-        n_stop = sum(1 for w in words if w in STOP_SET)
-        r = _ppm(n_stop, len(words))
-        ratios.append(r)
-        preds.append("en" if r >= EN_STOP_RATIO_PPM else "other")
+    """n-gram-free stopword-ratio language heuristic (ppm-scaled).
+
+    Vectorized: one Arrow split over the column, one is_in kernel over the
+    flattened words, segmented sums via numpy cumsum — no per-row Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+    text = pc.coalesce(batch["text"], "")
+    words = pc.split_pattern(pc.utf8_lower(text), " ")   # list<string>
+    n_words = pc.list_value_length(words).to_numpy()     # split('') -> [''] -> 1
+    flat = pc.list_flatten(words)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(n_words)))
+    csum = np.concatenate(([0], np.cumsum(is_stop)))
+    n_stop = csum[offsets[1:]] - csum[offsets[:-1]]
+    ratios = (1_000_000 * n_stop) // np.maximum(n_words, 1)
+    ratios[n_words == 0] = 0
+    preds = np.where(ratios >= EN_STOP_RATIO_PPM, "en", "other")
     return pa.table({
         "doc_id": batch["doc_id"],
         "stop_ppm": pa.array(ratios, pa.int64()),
-        "lang_pred": pa.array(preds, pa.string()),
+        "lang_pred": pa.array(preds.tolist(), pa.string()),
     })
 
 
@@ -101,21 +110,32 @@ def term_count_batch(batch: pa.Table, terms: list[str]) -> pa.Table:
     """Per-doc occurrence counts of each single-word lowercase term over the
     space-split word sequence — the SQL-checkable face of gazetteer matching
     (DuckDB's RE2 has no lookarounds, so the oracle splits on spaces too)."""
-    texts = batch["text"].to_pylist()
-    res = {"doc_id": [], "term": [], "n": []}
-    doc_ids = batch["doc_id"].to_pylist()
-    for did, t in zip(doc_ids, texts):
-        words = (t or "").lower().split(" ")
-        for term in terms:
-            n = sum(1 for w in words if w == term)
-            if n:
-                res["doc_id"].append(did)
-                res["term"].append(term)
-                res["n"].append(n)
+    import numpy as np
+    import pyarrow.compute as pc
+    text = pc.coalesce(batch["text"], "")
+    words = pc.split_pattern(pc.utf8_lower(text), " ")   # list<string>
+    lengths = pc.list_value_length(words).to_numpy()
+    flat = pc.list_flatten(words)
+    term_arr = pa.array(terms, pa.string())
+    # one is_in/index_in pass over the batch vocabulary instead of the old
+    # O(docs x terms) rescan
+    ti = pc.index_in(flat, value_set=term_arr)        # null on miss
+    hit = pc.is_valid(ti).to_numpy(zero_copy_only=False)
+    term_idx = pc.fill_null(ti, 0).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    sel_doc = doc_idx[hit]
+    sel_term = term_idx[hit].astype(np.int64)
+    # doc-major, term-list-order-minor keys reproduce the original emit order
+    keys = sel_doc * len(terms) + sel_term
+    uniq, counts = np.unique(keys, return_counts=True)
+    out_doc = (uniq // len(terms)).astype(np.int64)
+    out_term = (uniq % len(terms)).astype(np.int64)
+    doc_col = batch["doc_id"].combine_chunks() if isinstance(
+        batch["doc_id"], pa.ChunkedArray) else batch["doc_id"]
     return pa.table({
-        "doc_id": pa.array(res["doc_id"], batch["doc_id"].type),
-        "term": pa.array(res["term"], pa.string()),
-        "n": pa.array(res["n"], pa.int64()),
+        "doc_id": doc_col.take(pa.array(out_doc)),
+        "term": term_arr.take(pa.array(out_term)),
+        "n": pa.array(counts, pa.int64()),
     })
 
 
@@ -216,9 +236,14 @@ def lang_id_ngram_batch(batch, min_coverage_ppm: int = 120_000):
             preds.append("und")
             covs.append(0)
             continue
-        scores = [(len(grams & _LANG_PROFILES[lg]) * 1_000_000 // len(grams),
-                   lg) for lg in langs]
-        best_cov, best_lang = max(scores)
+        # strict argmax with explicit first-in-priority-order tie-break:
+        # equal coverages resolve to the earlier language in sorted(langs)
+        # ('en' beats 'es' on a tie), not to an arbitrary lexical max
+        best_cov, best_lang = -1, "und"
+        for lg in langs:
+            cov = len(grams & _LANG_PROFILES[lg]) * 1_000_000 // len(grams)
+            if cov > best_cov:
+                best_cov, best_lang = cov, lg
         if best_cov < min_coverage_ppm:
             best_lang = "und"
         preds.append(best_lang)

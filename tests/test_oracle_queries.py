@@ -63,6 +63,40 @@ def test_rows_only_queries(ray_session):
         assert df is not None and len(df.columns) > 0, name
 
 
+TEXTSTATS_QUERIES = ["token_count", "bpe_token_count", "lang_id", "quality",
+                     "fingerprint", "term_counts", "top_docs_per_lang"]
+
+
+def test_degenerate_documents_vs_oracle(ray_session, tmp_path):
+    """Engine and SQL oracle must agree on empty-string and NULL documents —
+    the zero-safe contract (engine emits 0/'', never NULL, for token-free
+    text) holds on both sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = pq.read_table(f"{SF_DIR}/documents.parquet")
+    extra = pa.table({
+        "doc_id": pa.array([900001, 900002, 900003], pa.int64()),
+        "text": pa.array(["", None, "   "], pa.string()),
+        "lang": pa.array(["en", "de", "en"], pa.string()),
+        "source": pa.array(["synthetic"] * 3, pa.string()),
+        "n_chars": pa.array([0, 0, 3], pa.int64()),
+    })
+    mixed = pa.concat_tables([base.select(extra.column_names), extra])
+    pq.write_table(mixed, tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in TEXTSTATS_QUERIES:
+        got = _normalize(_to_df(qs[name](str(tmp_path))))
+        want = _normalize(con.sql(oracles[name]).df())
+        assert len(got) == len(want), (name, len(got), len(want))
+        mismatch = (got != want).any(axis=1)
+        assert not mismatch.any(), (
+            name, got[mismatch].head(3), want[mismatch].head(3))
+    con.close()
+
+
 def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) >= 0 and "subj" in df.columns
