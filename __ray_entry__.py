@@ -355,9 +355,18 @@ def q_top_customers(sf_dir: str):
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"]).to_pandas()
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    joined = broadcast_join(agg, cust, on="o_custkey").to_pandas()
-    top = joined.sort_values(["total_cents", "o_custkey"],
+    joined = broadcast_join(agg, cust, on="o_custkey")
+
+    # distributed global top-k: each block keeps only its local top-10, so at
+    # most 10 rows per block reach the driver (never the full per-customer
+    # aggregate — the same partial/merge shape as simsearch.brute_force_topk)
+    def local_top(b):
+        return b.sort_values(["total_cents", "o_custkey"],
                              ascending=[False, True]).head(10)
+
+    partials = joined.map_batches(local_top, batch_format="pandas").to_pandas()
+    top = partials.sort_values(["total_cents", "o_custkey"],
+                               ascending=[False, True]).head(10)
     return pa.table({
         "c_custkey": pa.array(top["o_custkey"].tolist(), pa.int64()),
         "c_name": pa.array(top["c_name"].tolist(), pa.string()),

@@ -260,27 +260,46 @@ def jaccard(a: str, b: str, shingle_k: int = 3) -> float:
 # ---------------------------------------------------------------- SimHash
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
                   text_col: str = "text", prefix_bits: int = 16) -> pa.Table:
-    """64-bit word-feature simhash + a high-bit bucket column for grouping."""
-    memo: dict[str, int] = {}
-    bit_memo: dict[str, np.ndarray] = {}
-    out_h, out_b = [], []
+    """64-bit word-feature simhash + a high-bit bucket column for grouping.
+
+    Vectorized over the batch vocabulary: one Arrow split/lower pass, one
+    pandas drop_duplicates for the per-doc word SETS, one blake2b per
+    distinct vocabulary word (not per occurrence), then the 64 bit-counts
+    accumulate for all docs at once via a scatter-add over the (doc, word)
+    incidence — no per-row/per-word Python loop."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_docs = batch.num_rows
     weights = np.arange(64, dtype=np.uint64)
-    for t in batch[text_col].to_pylist():
-        words = set((t or "").lower().split(" "))
-        acc = np.zeros(64, dtype=np.int64)
-        for w in words:
-            bits = bit_memo.get(w)
-            if bits is None:
-                h = np.uint64(_word_hash(w, memo))
-                bits = ((h >> weights) & np.uint64(1)).astype(np.int64)
-                bit_memo[w] = bits
-            acc += bits
-        # acc holds ones-count; sign test is 2*acc - n_words > 0
-        pos = (2 * acc) > len(words)
-        val = int(np.bitwise_or.reduce(
-            (pos.astype(np.uint64) << weights))) if pos.any() else 0
-        out_h.append(f"{val:016x}")
-        out_b.append(val >> (64 - prefix_bits))
+    if n_docs == 0:
+        return pa.table({id_col: batch[id_col],
+                         "simhash": pa.array([], pa.string()),
+                         "bucket": pa.array([], pa.int64())})
+    words = pc.split_pattern(
+        pc.utf8_lower(pc.coalesce(batch[text_col], "")), " ")
+    lengths = pc.list_value_length(words).to_numpy()
+    flat = pc.list_flatten(words).to_pandas()
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    # per-doc word SET: drop duplicate (doc, word) incidences (C kernel)
+    inc = pd.DataFrame({"d": doc_idx, "w": flat}).drop_duplicates()
+    vocab, w_idx = np.unique(inc["w"].to_numpy(), return_inverse=True)
+    # one keyed digest per distinct vocabulary word in the batch
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode("utf-8"),
+                                        digest_size=8).digest(), "little")
+         for w in vocab), np.uint64, len(vocab))
+    vocab_bits = ((hv[:, None] >> weights[None, :])
+                  & np.uint64(1)).astype(np.int64)       # (V, 64)
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    np.add.at(acc, inc["d"].to_numpy(), vocab_bits[w_idx])
+    n_words = np.bincount(inc["d"].to_numpy(), minlength=n_docs)
+    # acc holds ones-count; sign test is 2*acc - n_words > 0
+    pos = (2 * acc) > n_words[:, None]
+    vals = np.bitwise_or.reduce(
+        pos.astype(np.uint64) << weights[None, :], axis=1)
+    out_h = [f"{int(v):016x}" for v in vals]
+    out_b = (vals >> np.uint64(64 - prefix_bits)).astype(np.int64)
     return pa.table({
         id_col: batch[id_col],
         "simhash": pa.array(out_h, pa.string()),
@@ -324,19 +343,18 @@ def embedding_neardup(embeddings_ds, threshold: float = 0.95,
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0] = 1.0
         S = (M / norms[:, None]) @ (M / norms[:, None]).T
-        out_a, out_b, out_s = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if S[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(int(np.floor(S[i, j] * 1_000_000)))
-        if not out_a:
+        # strict upper triangle of the threshold mask — one nonzero scan
+        # instead of the O(n^2) Python double loop
+        ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+        if ii.size == 0:
             return empty
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "cos_micro": out_s})
+        ids_np = np.asarray(ids)
+        a = np.minimum(ids_np[ii], ids_np[jj])
+        b = np.maximum(ids_np[ii], ids_np[jj])
+        cos = np.floor(S[ii, jj] * 1_000_000).astype(np.int64)
+        return pd.DataFrame({"id_a": a.astype("int64"),
+                             "id_b": b.astype("int64"),
+                             "cos_micro": cos})
 
     bucketed = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(pairs_in_bucket,
@@ -388,42 +406,129 @@ def embedding_pairs_exact(embeddings_ds, threshold: float = 0.95,
 
 def verify_jaccard_pairs(documents_ds, candidate_pairs, threshold: float = 0.8,
                          shingle_k: int = 3, id_col: str = "doc_id",
-                         text_col: str = "text"):
-    """Exact n-gram Jaccard verification of LSH candidate pairs. The
-    candidate set is small by construction (collision buckets only), so the
-    involved documents' texts are fetched once and broadcast; verification is
-    a stateless map over the pair rows."""
+                         text_col: str = "text",
+                         shuffle_partitions: int | None = None):
+    """Exact n-gram Jaccard verification of LSH candidate pairs, distributed.
+
+    Texts never reach the driver: candidate docs are semi-filtered with a
+    broadcast id set (ids only — ~8 bytes per involved doc), then joined onto
+    the pair rows through two bucketed hash exchanges (co-locate by id_a,
+    attach text_a; co-locate by id_b, attach text_b and verify). Inside each
+    bucket every document is shingled exactly ONCE (memo keyed by doc id),
+    however many pairs reference it, and the set intersection is a sorted
+    np.intersect1d — no per-pair re-shingling, no take_all, so a
+    boilerplate-heavy corpus with an exploding candidate set stays bounded by
+    per-bucket memory, not driver memory.
+    """
+    import pandas as pd
     import ray
+    import ray.data
 
     if isinstance(candidate_pairs, pa.Table):
-        pairs_t = candidate_pairs
-    elif hasattr(candidate_pairs, "to_arrow"):        # ray Dataset
-        pairs_t = candidate_pairs.to_arrow()
-    else:                                             # pandas DataFrame
-        pairs_t = pa.Table.from_pandas(candidate_pairs)
-    if pairs_t.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard_micro": pa.array([], pa.int64())})
-    involved = set(pairs_t["id_a"].to_pylist()) | set(pairs_t["id_b"].to_pylist())
-    inv_ref = ray.put(frozenset(involved))
+        pairs_ds = ray.data.from_arrow(candidate_pairs)
+    elif isinstance(candidate_pairs, pd.DataFrame):
+        pairs_ds = ray.data.from_pandas(candidate_pairs)
+    else:                                             # already a ray Dataset
+        pairs_ds = candidate_pairs
+    # pair rows feed the id-set collection AND two exchanges: materialize
+    # once (object-store blocks, not driver memory) instead of recomputing
+    pairs_ds = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
+
+    P = max(16, shuffle_partitions or 0)
+
+    # involved ids to the driver ONCE (two int64 columns, never texts)
+    id_tbl = pa.concat_tables(ray.get(pairs_ds.to_arrow_refs()))
+    if id_tbl.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard_micro": pa.array([], pa.int64())}))
+    involved = np.unique(np.concatenate([
+        id_tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+        id_tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+    inv_ref = ray.put(involved)
 
     def grab(batch: pa.Table) -> pa.Table:
-        keep = ray.get(inv_ref)
-        mask = pa.array([i in keep for i in batch[id_col].to_pylist()])
-        return batch.filter(mask)
+        import pyarrow.compute as pc
+        keep = ray.get(inv_ref)                       # zero-copy local read
+        mask = pc.is_in(pc.cast(batch[id_col], pa.int64()),
+                        value_set=pa.array(keep, pa.int64()))
+        kept = batch.filter(mask)
+        return pa.table({id_col: kept[id_col], text_col: kept[text_col]})
 
-    texts_tbl = (documents_ds.map_batches(grab, batch_format="pyarrow")
-                 .select_columns([id_col, text_col]).take_all())
-    texts = {r[id_col]: r[text_col] for r in texts_tbl}
+    # filtered texts also feed both exchanges: materialize once
+    texts_ds = documents_ds.map_batches(
+        grab, batch_format="pyarrow").materialize()
 
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pairs_t["id_a"].to_pylist(), pairs_t["id_b"].to_pylist()):
-        j = jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(int(np.floor(j * 1_000_000)))
-    return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                     "id_b": pa.array(out_b, pa.int64()),
-                     "jaccard_micro": pa.array(out_j, pa.int64())})
+    def tag_pairs(join_col):
+        def fn(b: pa.Table) -> pa.Table:
+            jid = b[join_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {"__bucket": pa.array(np.abs(jid) % P, pa.int64()),
+                    "__side": pa.array([0] * b.num_rows, pa.int8()),
+                    "__jid": pa.array(jid, pa.int64()),
+                    "id_a": pa.compute.cast(b["id_a"], pa.int64()),
+                    "id_b": pa.compute.cast(b["id_b"], pa.int64()),
+                    "text_a": (b["text_a"] if "text_a" in b.column_names
+                               else pa.nulls(b.num_rows, pa.string())),
+                    "__text": pa.nulls(b.num_rows, pa.string())}
+            return pa.table(cols)
+        return fn
+
+    def tag_texts(b: pa.Table) -> pa.Table:
+        jid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__bucket": pa.array(np.abs(jid) % P, pa.int64()),
+            "__side": pa.array([1] * b.num_rows, pa.int8()),
+            "__jid": pa.array(jid, pa.int64()),
+            "id_a": pa.nulls(b.num_rows, pa.int64()),
+            "id_b": pa.nulls(b.num_rows, pa.int64()),
+            "text_a": pa.nulls(b.num_rows, pa.string()),
+            "__text": b[text_col]})
+
+    def join_a(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == 0]
+        d = g[g["__side"] == 1].drop_duplicates("__jid")
+        m = p[["__jid", "id_a", "id_b"]].merge(
+            d[["__jid", "__text"]], on="__jid", how="inner")
+        return (m.rename(columns={"__text": "text_a"})
+                [["id_a", "id_b", "text_a"]])
+
+    def join_b_verify(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["__side"] == 0]
+        d = g[g["__side"] == 1].drop_duplicates("__jid")
+        m = p[["__jid", "id_a", "id_b", "text_a"]].merge(
+            d[["__jid", "__text"]], on="__jid", how="inner")
+        memo: dict[int, np.ndarray] = {}   # each doc shingled once per bucket
+
+        def sh(doc_id, t):
+            arr = memo.get(doc_id)
+            if arr is None:
+                arr = _shingle_hashes((t or "").lower().split(" "), shingle_k)
+                memo[doc_id] = arr
+            return arr
+
+        out_a, out_b, out_j = [], [], []
+        for ida, idb, ta, tb in zip(m["id_a"], m["id_b"],
+                                    m["text_a"], m["__text"]):
+            sa, sb = sh(int(ida), ta), sh(int(idb), tb)
+            if sa.size == 0 and sb.size == 0:
+                j = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                out_a.append(int(ida))
+                out_b.append(int(idb))
+                out_j.append(int(np.floor(j * 1_000_000)))
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard_micro": pd.Series(out_j, dtype="int64")})
+
+    with_a = (pairs_ds.map_batches(tag_pairs("id_a"), batch_format="pyarrow")
+              .union(texts_ds.map_batches(tag_texts, batch_format="pyarrow"))
+              .groupby("__bucket")
+              .map_groups(join_a, batch_format="pandas"))
+    return (with_a.map_batches(tag_pairs("id_b"), batch_format="pyarrow")
+            .union(texts_ds.map_batches(tag_texts, batch_format="pyarrow"))
+            .groupby("__bucket")
+            .map_groups(join_b_verify, batch_format="pandas"))

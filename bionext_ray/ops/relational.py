@@ -20,6 +20,14 @@ import ray
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+def _pool_size() -> tuple[int, int]:
+    """Actor-pool bounds sized from the cluster, not hard-coded: autoscale
+    from 1 (chained pools with min>1 can pre-claim every CPU and starve the
+    upstream read) up to just below the CPU count (read tasks need slots)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, ncpu - max(1, ncpu // 8)))
+
+
 def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner",
                    batch_size: int = 8192):
     """Join a big Dataset against a small pandas DataFrame (broadcast)."""
@@ -33,7 +41,7 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner",
             return batch.merge(self.small, on=on, how=how)
 
     return big_ds.map_batches(JoinFn, batch_format="pandas",
-                              batch_size=batch_size, concurrency=(1, 8))
+                              batch_size=batch_size, concurrency=_pool_size())
 
 
 def semi_join_filter(big_ds, keys: set, key_col: str, batch_size: int = 8192):
@@ -54,7 +62,7 @@ def semi_join_filter(big_ds, keys: set, key_col: str, batch_size: int = 8192):
             return batch.filter(mask)
 
     return big_ds.map_batches(FilterFn, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=(1, 8))
+                              batch_size=batch_size, concurrency=_pool_size())
 
 
 _AGGS = {"sum": Sum, "min": Min, "max": Max, "mean": Mean}
@@ -174,52 +182,69 @@ def range_join(left_ds, right_ds, key_col: str, left_ts: str, right_ts: str,
                                       left_cols, l_t),
                                   batch_format="pyarrow")))
 
-    lcols = ["l_" + c for c in left_cols]
-    rcols = ["r_" + c for c in right_cols]
     width_us = np.int64(width_s) * 1_000_000
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["__side"] == 0]
-        right = g[g["__side"] == 1].sort_values([key_col, "__ts"],
-                                                kind="mergesort")
-        out = []
-        rts_all = right["__ts"].astype("datetime64[ns]").astype(
-            "int64").to_numpy() // 1000
-        for key, lg in left.groupby(key_col, sort=False):
-            rsel = right[key_col].to_numpy() == key
-            if not rsel.any():
-                continue
-            rts = rts_all[rsel]
-            ridx = np.flatnonzero(rsel)
-            lts = lg["__ts"].astype("datetime64[ns]").astype(
-                "int64").to_numpy() // 1000
-            side = "right" if strict_after else "left"
-            lo = np.searchsorted(rts, lts, side=side)
-            hi = np.searchsorted(rts, lts + width_us, side="right")
-            counts = hi - lo
-            if counts.sum() == 0:
-                continue
-            # expand [lo_i, hi_i) ranges without a per-row loop
-            li = np.repeat(np.arange(len(lg)), counts)
-            offs = np.arange(int(counts.sum())) - np.repeat(
-                np.cumsum(counts) - counts, counts)
-            ri = ridx[np.repeat(lo, counts) + offs]
-            part = {key_col: np.repeat(key, len(li)),
-                    left_ts: lg["__ts"].to_numpy()[li],
-                    right_ts: right["__ts"].to_numpy()[ri]}
-            for c in lcols:
-                part[c[2:]] = lg[c].to_numpy()[li]
-            for c in rcols:
-                part[c[2:]] = right[c].to_numpy()[ri]
-            out.append(pd.DataFrame(part))
-        if not out:
-            cols = {key_col: [], left_ts: [], right_ts: []}
-            cols.update({c: [] for c in left_cols + right_cols})
-            return pd.DataFrame(cols)
-        return pd.concat(out, ignore_index=True)
+        return _band_join_bucket(g, key_col, left_ts, right_ts, left_cols,
+                                 right_cols, width_us, strict_after)
 
     return tagged.groupby("__bucket").map_groups(join_bucket,
                                                  batch_format="pandas")
+
+
+def _band_join_bucket(g: pd.DataFrame, key_col: str, left_ts: str,
+                      right_ts: str, left_cols: list[str],
+                      right_cols: list[str], width_us,
+                      strict_after: bool) -> pd.DataFrame:
+    """Band-match one co-located bucket (module-level so tests can
+    micro-bench it without the exchange). Right side is sorted ONCE by
+    (key, ts); each key's rows are then a contiguous slice found by two
+    binary searches over the sorted key column — O(log R) per key plus the
+    matches, never an O(R) boolean rescan per key."""
+    import numpy as np
+
+    lcols = ["l_" + c for c in left_cols]
+    rcols = ["r_" + c for c in right_cols]
+    left = g[g["__side"] == 0]
+    right = g[g["__side"] == 1].sort_values([key_col, "__ts"],
+                                            kind="mergesort")
+    out = []
+    rts_all = right["__ts"].astype("datetime64[ns]").astype(
+        "int64").to_numpy() // 1000
+    rkeys = right[key_col].to_numpy()
+    for key, lg in left.groupby(key_col, sort=False):
+        klo = int(np.searchsorted(rkeys, key, side="left"))
+        khi = int(np.searchsorted(rkeys, key, side="right"))
+        if klo == khi:
+            continue
+        rts = rts_all[klo:khi]
+        ridx = np.arange(klo, khi)
+        lts = lg["__ts"].astype("datetime64[ns]").astype(
+            "int64").to_numpy() // 1000
+        side = "right" if strict_after else "left"
+        lo = np.searchsorted(rts, lts, side=side)
+        hi = np.searchsorted(rts, lts + width_us, side="right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            continue
+        # expand [lo_i, hi_i) ranges without a per-row loop
+        li = np.repeat(np.arange(len(lg)), counts)
+        offs = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        ri = ridx[np.repeat(lo, counts) + offs]
+        part = {key_col: np.repeat(key, len(li)),
+                left_ts: lg["__ts"].to_numpy()[li],
+                right_ts: right["__ts"].to_numpy()[ri]}
+        for c in lcols:
+            part[c[2:]] = lg[c].to_numpy()[li]
+        for c in rcols:
+            part[c[2:]] = right[c].to_numpy()[ri]
+        out.append(pd.DataFrame(part))
+    if not out:
+        cols = {key_col: [], left_ts: [], right_ts: []}
+        cols.update({c: [] for c in left_cols + right_cols})
+        return pd.DataFrame(cols)
+    return pd.concat(out, ignore_index=True)
 
 
 def grouped_topk(ds, key_cols: list[str], order_col: str, k: int,

@@ -223,3 +223,76 @@ def test_lang_id_ngram():
     parts = pa.concat_tables([lang_id_ngram_batch(t.slice(i, 1))
                               for i in range(4)])
     assert parts["lang_pred"].to_pylist() == out["lang_pred"].to_pylist()
+
+
+def test_verify_jaccard_distributed_large_candidate_set(ray_session):
+    """The distributed verify (no take_all, docs shingled once per bucket)
+    must match the scalar jaccard reference even when the candidate set is
+    large (boilerplate-heavy corpus: 120 docs sharing one template)."""
+    import math
+
+    import ray.data
+
+    from bionext_ray.ops.dedup import (
+        minhash_lsh_candidates, verify_jaccard_pairs,
+    )
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank and then it happened again ") * 2
+    texts = [base + f"tail{i % 7} extra{i % 3}" for i in range(120)]
+    docs = ray.data.from_arrow(_docs_table(texts)).repartition(8)
+    cands = minhash_lsh_candidates(docs).to_pandas()
+    assert len(cands) > 500          # boilerplate corpus explodes candidates
+    verified = verify_jaccard_pairs(
+        ray.data.from_arrow(_docs_table(texts)), cands,
+        threshold=0.5).to_pandas()
+    got = {(int(a), int(b)): int(j) for a, b, j in zip(
+        verified["id_a"], verified["id_b"], verified["jaccard_micro"])}
+    # every candidate pair must agree with the scalar reference
+    for a, b in zip(cands["id_a"], cands["id_b"]):
+        j = jaccard(texts[int(a)], texts[int(b)], 3)
+        if j >= 0.5:
+            assert got[(int(a), int(b))] == int(math.floor(j * 1_000_000))
+        else:
+            assert (int(a), int(b)) not in got
+    # no duplicates emitted
+    assert len(got) == len(verified)
+
+
+def test_range_join_bucket_cost_linear():
+    """Micro-bench of the bucket kernel: 4x the keys (same rows per key,
+    same matches per row) must cost ~4x, not 16x — the sorted-key
+    searchsorted slice lookup is O(log R) per key, not O(R)."""
+    import time
+
+    import pandas as pd
+
+    from bionext_ray.ops.relational import _band_join_bucket
+
+    def mk_bucket(n_keys, per_key=40):
+        rows = n_keys * per_key
+        keys = np.repeat(np.arange(n_keys, dtype=np.int64), per_key)
+        ts = np.tile(np.arange(per_key, dtype=np.int64) * 1_000_000, n_keys)
+        left = pd.DataFrame({
+            "__side": np.int8(0), "k": keys,
+            "__ts": pd.to_datetime(ts, unit="us"),
+            "l_lid": np.arange(rows, dtype=np.int64), "r_rid": np.int64(0)})
+        right = pd.DataFrame({
+            "__side": np.int8(1), "k": keys,
+            "__ts": pd.to_datetime(ts, unit="us"),
+            "l_lid": np.int64(0), "r_rid": np.arange(rows, dtype=np.int64)})
+        return pd.concat([left, right], ignore_index=True)
+
+    def run(n_keys):
+        g = mk_bucket(n_keys)
+        t0 = time.perf_counter()
+        out = _band_join_bucket(g, "k", "lts", "rts", ["lid"], ["rid"],
+                                np.int64(2_000_000), True)
+        dt = time.perf_counter() - t0
+        return dt, len(out)
+
+    run(50)                                   # warm numpy/pandas
+    t_small, n_small = run(200)
+    t_big, n_big = run(800)
+    assert n_big == 4 * n_small               # same matches per key
+    # quadratic per-key rescan would be ~16x; allow generous headroom
+    assert t_big < 8 * max(t_small, 1e-4), (t_small, t_big)
