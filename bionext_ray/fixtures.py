@@ -80,6 +80,18 @@ def make_documents(n_docs: int = 40, seed: int = 7) -> list[dict]:
     docs.append({"doc_id": str(nd + 5), "title": "Boundary span",
                  "body": " ".join(FILLER[i % len(FILLER)] for i in range(381))
                  + " slow merge afterwards " + " ".join(FILLER[:20])})
+    # case-sensitive taxonomy direct tier: "Mouse"/"Rat" hit kb.direct
+    # (list and scalar value shapes), lowercase "mouse" falls through to the
+    # name dict; neither 10095 nor 10116 is in kb.genes, so nearest-organism
+    # for "spark" must skip them and pick the lowercase mouse's 10090
+    docs.append({"doc_id": str(nd + 6), "title": "Taxon direct case",
+                 "body": "Mouse samples differed from mouse controls while "
+                         "Rat strains showed spark expression"})
+    # per-tax gene DIRECT tier: "blip" resolves only via
+    # kb.direct['GeneOrGeneProduct']['9606']
+    docs.append({"doc_id": str(nd + 7), "title": "Per-tax direct gene",
+                 "body": "blip transcripts rose in customer tissue "
+                         "alongside spark"})
     return docs
 
 

@@ -75,6 +75,11 @@ def default_kb() -> KnowledgeBase:
         "table": ["10090", "10091"],
         "mouse": ["10090"],
     }
+    # CASE-SENSITIVE taxonomy direct tier (taxonomy.py:53): checked on the
+    # raw surface before the lowercased name dict — "Mouse" (capitalized)
+    # resolves here to a different id than lowercase "mouse" does via
+    # kb.taxonomy. List and scalar values cover both value shapes.
+    kb.direct["OrganismTaxon"] = {"Mouse": ["10095"], "Rat": "10116"}
     kb.manual_correction = {"3052230": "11103"}
 
     # --- genes: per-tax alias dicts; "vector" under 9606 is multi-candidate
@@ -83,6 +88,9 @@ def default_kb() -> KnowledgeBase:
         "10090": {"spark": ["G101"], "vector": ["G202"]},
         "562": {"stream": ["G300"]},  # reachable only via the backup tier
     }
+    # per-tax gene DIRECT tier (genes.py:141-143): consulted before the
+    # per-tax alias dict — "blip" resolves only here
+    kb.direct["GeneOrGeneProduct"] = {"9606": {"blip": ["G500"]}}
     # gene embedding shard for 9606 only: "scan" links via the embedding tier
     gene_emb_aliases_9606 = [("scan", "G400"), ("spark", "G100"), ("vector", "G200")]
     kb.gene_emb = {
@@ -127,7 +135,9 @@ def default_kb() -> KnowledgeBase:
     gaz: dict[str, str] = {}
     for t in kb.taxonomy:
         gaz[t] = "OrganismTaxon"
-    for alias in ["spark", "vector", "stream", "scan"]:
+    for alias in ["rat"]:       # links only via the case-sensitive tier
+        gaz[alias] = "OrganismTaxon"
+    for alias in ["spark", "vector", "stream", "scan", "blip"]:
         gaz[alias] = "GeneOrGeneProduct"
     for alias in ["hash", "batch", "acetaminophen", "md5", "checksum"]:
         gaz[alias] = "ChemicalEntity"

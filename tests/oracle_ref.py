@@ -170,10 +170,15 @@ def _vote(doc, types, correction=None, guard=False):
 
 def oracle_link(doc, kb):
     ents = doc["entities"]
-    # taxonomy
+    # taxonomy: case-sensitive direct tier first (taxonomy.py:53), then the
+    # lowercased name dict
+    tax_direct = kb.direct.get("OrganismTaxon", {})
     for e in ents:
         if e["label"] == "OrganismTaxon":
-            if e["text"].lower() in kb.taxonomy:
+            if e["text"] in tax_direct:
+                v = tax_direct[e["text"]]
+                e["linked_id"] = [v[0]] if isinstance(v, list) else [v]
+            elif e["text"].lower() in kb.taxonomy:
                 e["linked_id"] = list(kb.taxonomy[e["text"].lower()])
     _vote(doc, ("OrganismTaxon",), correction=kb.manual_correction)
     # chemicals
@@ -204,7 +209,11 @@ def oracle_link(doc, kb):
                 if abs(e["start_span"] - ostart) < distance and oid in kb.genes:
                     distance, nearest = abs(e["start_span"] - ostart), oid
             pred = []
-            if e["text"].lower() in kb.genes.get(nearest, {}):
+            # per-tax direct tier before the alias dict (genes.py:141-143)
+            per_tax = kb.direct.get("GeneOrGeneProduct", {}).get(nearest, {})
+            if e["text"].lower() in per_tax:
+                pred = list(per_tax[e["text"].lower()])
+            if not pred and e["text"].lower() in kb.genes.get(nearest, {}):
                 pred = sorted(set(kb.genes[nearest][e["text"].lower()]))
             if not pred and nearest in kb.gene_emb:
                 ids, M = kb.gene_emb[nearest]

@@ -77,6 +77,26 @@ def test_triples_match_oracle(ray_outputs, oracle_outputs):
     assert len(got) > 20  # corpus actually produces a graph
 
 
+def test_direct_linker_tiers_covered(ray_outputs):
+    """The case-sensitive taxonomy direct tier and the per-tax gene direct
+    tier must actually fire on the fixture corpus (they were live code with
+    zero coverage before the 'Taxon direct case'/'Per-tax direct gene'
+    fixture docs)."""
+    linked = ray_outputs[2]
+    d36 = linked[linked.doc_id == "36"]
+    ids36 = set(d36.identifier)
+    # "Mouse" (list value) and "Rat" (scalar value) via kb.direct;
+    # lowercase "mouse" via the name dict
+    assert {"10095", "10116", "10090"} <= ids36, ids36
+    # neither 10095 nor 10116 is in kb.genes -> nearest organism for
+    # "spark" skips them and picks 10090 -> G101
+    assert "G101" in ids36, ids36
+    d37 = linked[linked.doc_id == "37"]
+    ids37 = set(d37.identifier)
+    assert "G500" in ids37, ids37          # per-tax gene direct tier
+    assert "G100" in ids37, ids37          # alias tier still works beside it
+
+
 def test_canonical_support_sums(ray_outputs, oracle_outputs):
     import pandas as pd
     canon = ray_outputs[4]
