@@ -16,6 +16,22 @@ from ..rangedict import merge_overlapping
 from ..windows import bio_labels, decode_doc, make_windows, window_annotations
 
 
+def spans_to_mentions(text: str, spans: list[tuple]) -> list[dict]:
+    """Decoded (start, end, class) spans -> annotation dicts with the
+    un-linked sentinel (/root/reference/src/tagger/__init__.py:122-135)."""
+    out = []
+    for i, (s, e, cls) in enumerate(spans):
+        out.append({
+            "id": str(i),
+            "label": ID2LABEL_ENTITY[cls],
+            "text": text[s:e],
+            "start_span": s,
+            "end_span": e,
+            "linked": "-",
+        })
+    return out
+
+
 def tag_document(text: str, matcher: GazetteerMatcher) -> list[dict]:
     """Detect mentions in one document. Returns annotation dicts
     ``{id, label, text, start_span, end_span, linked}`` with ``linked='-'``
@@ -32,14 +48,34 @@ def tag_document(text: str, matcher: GazetteerMatcher) -> list[dict]:
         label_seqs.append(bio_labels(w["offsets"], anns))
         offset_seqs.append(w["offsets"])
     spans = decode_doc(label_seqs, offset_seqs, text)
-    out = []
-    for i, (s, e, cls) in enumerate(spans):
-        out.append({
-            "id": str(i),
-            "label": ID2LABEL_ENTITY[cls],
-            "text": text[s:e],
-            "start_span": s,
-            "end_span": e,
-            "linked": "-",
-        })
-    return out
+    return spans_to_mentions(text, spans)
+
+
+def tag_documents_with_backend(texts: list[str], backend) -> list[list[dict]]:
+    """Batched model path: ALL windows of ALL documents are collated and
+    scored in ONE backend call (the cross-doc batching a GPU forward pass
+    needs; the reference batches windows across documents too,
+    /root/reference/main.py:31-33), then labels regroup per document for the
+    stitched decode — the regroup never leaves the task."""
+    import numpy as np  # noqa: F401  (kept local: hot path imports once)
+
+    from ..models import collate_tagger_windows
+
+    doc_windows = [make_windows(t, with_inputs=True) for t in texts]
+    flat = [w for ws in doc_windows for w in ws]
+    labels = None
+    if flat:
+        feats = collate_tagger_windows(flat)
+        labels = backend(feats["input_ids"], feats["attention_mask"])
+    mentions, pos = [], 0
+    for text, ws in zip(texts, doc_windows):
+        if not ws:
+            mentions.append([])
+            continue
+        label_seqs = [labels[pos + k][:len(w["offsets"])].tolist()
+                      for k, w in enumerate(ws)]
+        offset_seqs = [w["offsets"] for w in ws]
+        pos += len(ws)
+        spans = decode_doc(label_seqs, offset_seqs, text)
+        mentions.append(spans_to_mentions(text, spans))
+    return mentions

@@ -80,8 +80,9 @@ def insert_markers(text: str, mentions: list[dict], entity1: str, entity2: str) 
 
 
 def pair_windows(marked_text: str, entity1: str, entity2: str):
-    """Yield sequence ids of windows that retain both entities' markers
-    (data.py:342-396; the reference checks [s1] and [s2] presence)."""
+    """Yield (sequence_id, window_tokens) of windows that retain both
+    entities' markers (data.py:342-396; the reference checks [s1] and [s2]
+    presence; last window is right-aligned)."""
     tokens = tokenize(marked_text)
     L = MAX_VALID_LENGTH
     for i in range(math.ceil(len(tokens) / L)):
@@ -91,13 +92,20 @@ def pair_windows(marked_text: str, entity1: str, entity2: str):
             has_s2 = "[s2]" in window
             if not (has_s1 and has_s2):
                 continue
-        yield i
+        yield i, window
 
 
-def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]:
-    """Full doc-local extractor. ``mentions`` are the cleaned linker output.
-    Returns triple rows {doc_id, subj, pred, obj, novel}."""
-    doc_relations = []
+def generate_pair_samples(doc_id: str, text: str, mentions: list[dict],
+                          with_inputs: bool = False) -> list[dict]:
+    """Phase 1 of the extractor: one sample dict per scoreable (pair,
+    window): {doc_id, entity1, entity2, sequence_id} plus, when
+    ``with_inputs``, the model features ``input_ids`` ([CLS] + window +
+    [SEP]) and ``indexes`` (positions of every [s1]/[e1]/[s2]/[e2] marker
+    token in input_ids, the reference's index_type='both' —
+    /root/reference/src/extractor/data.py:355-390)."""
+    from ..tokenization import CLS_ID, MARKER_IDS, SEP_ID, token_id
+
+    samples = []
     pairs = candidate_pairs(mentions)
     # Fast path: when the doc provably fits one window even after marker
     # insertion, that single window contains every marker, so the expensive
@@ -105,27 +113,34 @@ def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]
     # Bound: each of the 2 inserts per marked mention adds the marker token
     # plus at most one token split -> tokens(marked) <= tokens(text) +
     # 4 * n_marked. Semantics identical to the slow path (window [0] with
-    # both markers present).
+    # both markers present). Disabled when model features are requested —
+    # those need the real marked-window token ids.
     n_tok_text = len(tokenize(text)) if pairs else 0
+    marker_ids = set(MARKER_IDS.values())
     for e1, e2 in pairs:
         marked_ms = marked_mentions(mentions, e1[0], e2[0])
-        if n_tok_text + 4 * len(marked_ms) <= MAX_VALID_LENGTH:
-            seq_ids = [0]
+        if not with_inputs and \
+                n_tok_text + 4 * len(marked_ms) <= MAX_VALID_LENGTH:
+            wins = [(0, None)]
         else:
             marked = insert_markers(text, mentions, e1[0], e2[0])
-            seq_ids = pair_windows(marked, e1[0], e2[0])
-        for seq_id in seq_ids:
-            rel, nov = relation_logits(doc_id, e1[0], e2[0], seq_id)
-            rel_class = int(np.argmax(rel))
-            if rel_class != NEGATIVE_CLASS:
-                doc_relations.append({
-                    "entity1": e1[0], "entity2": e2[0],
-                    "label": rel_class, "novel": int(np.argmax(nov)),
-                    "sequence_id": seq_id,
-                    "relation_logits": rel, "novel_logits": nov,
-                })
+            wins = pair_windows(marked, e1[0], e2[0])
+        for seq_id, win_tokens in wins:
+            s = {"doc_id": doc_id, "entity1": e1[0], "entity2": e2[0],
+                 "sequence_id": seq_id}
+            if with_inputs:
+                ids = [CLS_ID] + [token_id(t) for t in win_tokens] + [SEP_ID]
+                s["input_ids"] = ids
+                s["indexes"] = [k for k, tid in enumerate(ids)
+                                if tid in marker_ids]
+            samples.append(s)
+    return samples
 
-    # composite-id cross-product expansion (__init__.py:87-94)
+
+def fuse_doc_relations(doc_id: str, doc_relations: list[dict]) -> list[dict]:
+    """Phase 3: composite-id cross-product expansion (__init__.py:87-94) and
+    softmax-sum logit fusion (__init__.py:98-108) over a doc's surviving
+    (pair, window) relations."""
     remapped: dict[tuple, list] = defaultdict(list)
     for pair in doc_relations:
         for p1 in pair["entity1"].split(","):
@@ -135,7 +150,6 @@ def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]
                     softmax(pair["relation_logits"]), pair["novel_logits"],
                 ])
 
-    # logit fusion (__init__.py:98-108)
     triples = []
     for (p1, p2), v in remapped.items():
         if len(v) > 1:
@@ -154,3 +168,35 @@ def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]
                 "novel": ID2LABEL_NOVEL[novel_label] == "Novel",
             })
     return triples
+
+
+def relations_from_scores(samples: list[dict], rels: np.ndarray,
+                          novs: np.ndarray) -> list[dict]:
+    """Phase 2 output shaping: apply the pre-fusion Negative_Class filter
+    (/root/reference/src/extractor/__init__.py:80-82) and keep the logits
+    the fusion needs."""
+    doc_relations = []
+    for s, rel, nov in zip(samples, rels, novs):
+        rel_class = int(np.argmax(rel))
+        if rel_class != NEGATIVE_CLASS:
+            doc_relations.append({
+                "entity1": s["entity1"], "entity2": s["entity2"],
+                "label": rel_class, "novel": int(np.argmax(nov)),
+                "sequence_id": s["sequence_id"],
+                "relation_logits": rel, "novel_logits": nov,
+            })
+    return doc_relations
+
+
+def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]:
+    """Full doc-local extractor (generate -> score -> fuse, single doc,
+    surrogate scorer). ``mentions`` are the cleaned linker output.
+    Returns triple rows {doc_id, subj, pred, obj, novel}."""
+    samples = generate_pair_samples(doc_id, text, mentions)
+    if not samples:
+        return []
+    scored = [relation_logits(s["doc_id"], s["entity1"], s["entity2"],
+                              s["sequence_id"]) for s in samples]
+    rels = np.array([r for r, _ in scored])
+    novs = np.array([n for _, n in scored])
+    return fuse_doc_relations(doc_id, relations_from_scores(samples, rels, novs))

@@ -96,7 +96,8 @@ def kg_pipeline(pages_ds, kb: KnowledgeBase | None = None, concurrency=4,
 def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
                       concurrency=4, batch_size: int = 256,
                       shuffle_partitions: int | None = None,
-                      check_schemas: bool = False) -> dict:
+                      check_schemas: bool = False,
+                      backends: dict | None = None) -> dict:
     """Each pipeline boundary as its own (lazy) Dataset — checkpointable.
 
     The intermediate boundaries (tagged/linked) use the separate actor
@@ -107,14 +108,16 @@ def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
 
     from .stages.fused import kg_fused_stage
     kb = kb or default_kb()
+    backends = backends or {}
     kb_ref = _ray.put(kb)   # broadcast once; actors read zero-copy
     docs = extract_stage(pages_ds, batch_size=max(batch_size, 512))
     tagged = tagger_stage(docs, kb.gazetteer, concurrency=concurrency,
-                          batch_size=batch_size)
+                          batch_size=batch_size,
+                          backend=backends.get("tagger"))
     linked = linker_stage(tagged, kb_ref, concurrency=concurrency,
                           batch_size=batch_size)
     triples = kg_fused_stage(docs, kb_ref, concurrency=concurrency,
-                             batch_size=batch_size)
+                             batch_size=batch_size, backends=backends)
     out = {
         "docs": docs,
         "tagged": tagged,

@@ -24,12 +24,18 @@ from .tagger import TaggerStage
 
 
 class KGFusedStage:
-    def __init__(self, kb, llm_spec: dict | None = None, transforms=None):
+    def __init__(self, kb, llm_spec: dict | None = None, transforms=None,
+                 backends: dict | None = None):
+        """``backends``: optional {"tagger": ..., "extractor": ...} model
+        backends (bionext_ray.models) — None keeps the direct surrogate
+        fast paths. Both variants are pinned equal by the parity suite."""
         if isinstance(kb, ray.ObjectRef):
             kb = ray.get(kb)
-        self.tag = TaggerStage(kb.gazetteer, transforms)
+        backends = backends or {}
+        self.tag = TaggerStage(kb.gazetteer, transforms,
+                               backend=backends.get("tagger"))
         self.link = LinkerStage(kb, llm_spec)
-        self.extract = ExtractorStage()
+        self.extract = ExtractorStage(backend=backends.get("extractor"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.extract(self.link(self.tag(batch)))
@@ -37,9 +43,10 @@ class KGFusedStage:
 
 def kg_fused_stage(docs_ds, kb, concurrency=4, batch_size: int = 64,
                    num_cpus: float = 1, llm_spec: dict | None = None,
-                   transforms=None):
+                   transforms=None, backends: dict | None = None):
     kb_ref = kb if isinstance(kb, ray.ObjectRef) else ray.put(kb)
     return docs_ds.map_batches(
-        KGFusedStage, fn_constructor_args=(kb_ref, llm_spec, transforms),
+        KGFusedStage,
+        fn_constructor_args=(kb_ref, llm_spec, transforms, backends),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus)

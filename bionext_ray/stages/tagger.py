@@ -31,8 +31,17 @@ MENTION_TYPE = pa.struct([
 
 
 class TaggerStage:
-    def __init__(self, gazetteer: dict[str, str], transforms=None):
-        self.matcher = GazetteerMatcher(gazetteer)  # once per actor
+    def __init__(self, gazetteer: dict[str, str], transforms=None,
+                 backend=None):
+        """``backend``: optional model backend ``(input_ids (B, L),
+        attention_mask (B, L)) -> (B, L) BIO label ids`` (see
+        bionext_ray.models). When set, ALL windows of the batch's documents
+        are collated and scored in ONE backend call per batch; when None,
+        the direct regex-gazetteer fast path runs per doc (no model, no
+        input_ids to build). The parity suite pins both paths equal."""
+        self.backend = backend
+        self.matcher = (None if backend is not None
+                        else GazetteerMatcher(gazetteer))  # once per actor
         # per-mention UDF hooks (reference transform lists applied per
         # sample, /root/reference/src/data.py:254-257): each callable takes
         # and returns a mention dict; must be picklable (top-level fns)
@@ -40,7 +49,11 @@ class TaggerStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        mentions = [tag_document(t, self.matcher) for t in texts]
+        if self.backend is not None:
+            from ..functions.ner import tag_documents_with_backend
+            mentions = tag_documents_with_backend(texts, self.backend)
+        else:
+            mentions = [tag_document(t, self.matcher) for t in texts]
         for fn in self.transforms:
             mentions = [[fn(dict(m)) for m in ms] for ms in mentions]
         return batch.append_column(
@@ -49,9 +62,9 @@ class TaggerStage:
 
 def tagger_stage(docs_ds, gazetteer: dict[str, str], concurrency=4,
                  batch_size: int = 256, num_cpus: float = 1,
-                 transforms=None):
+                 transforms=None, backend=None):
     return docs_ds.map_batches(
-        TaggerStage, fn_constructor_args=(gazetteer, transforms),
+        TaggerStage, fn_constructor_args=(gazetteer, transforms, backend),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus)
 

@@ -29,3 +29,47 @@ def tokenize(text: str) -> list[str]:
     which needs token identity to locate [s1]/[e1]/[s2]/[e2] markers,
     reference /root/reference/src/extractor/data.py:364-367)."""
     return _TOKEN_RE.findall(text)
+
+
+# ---------------------------------------------------------------------------
+# hash vocabulary: deterministic token ids so windows carry real
+# input_ids/attention_mask columns (reference samples:
+# /root/reference/src/data.py:238-249). Uncased, like the reference's
+# biomedical BERT vocab; ids are process-independent (keyed blake2b,
+# never Python hash()). A real subword tokenizer replaces token_id/encode
+# without touching the window math.
+
+VOCAB_SIZE = 32768
+PAD_ID, CLS_ID, SEP_ID = 0, 1, 2
+# entity-marker special tokens (reference adds them to the tokenizer,
+# /root/reference/src/extractor/data.py:330-340)
+S1_ID, E1_ID, S2_ID, E2_ID = 3, 4, 5, 6
+MARKER_IDS = {"[s1]": S1_ID, "[e1]": E1_ID, "[s2]": S2_ID, "[e2]": E2_ID}
+NUM_SPECIAL = 7
+
+_id_memo: dict[str, int] = {}
+
+
+def token_id(token: str) -> int:
+    """Deterministic uncased vocab id for one token (memoized per process)."""
+    t = token.lower()
+    cached = _id_memo.get(t)
+    if cached is not None:
+        return cached
+    m = MARKER_IDS.get(t)
+    if m is not None:
+        tid = m
+    else:
+        import hashlib
+        h = hashlib.blake2b(t.encode("utf-8"), digest_size=4).digest()
+        tid = NUM_SPECIAL + int.from_bytes(h, "little") % (
+            VOCAB_SIZE - NUM_SPECIAL)
+    if len(_id_memo) < 1_000_000:
+        _id_memo[t] = tid
+    return tid
+
+
+def encode(text: str) -> list[int]:
+    """Token ids of a text (no special tokens), mirroring
+    `tokenizer(text, add_special_tokens=False).ids`."""
+    return [token_id(t) for t in _TOKEN_RE.findall(text)]

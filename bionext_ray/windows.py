@@ -24,12 +24,12 @@ from __future__ import annotations
 
 from .constants import CENTER_TOKENS, CONTEXT_SIZE, CTX, MODEL_MAX_LENGTH, label2int
 from .rangedict import RangeDict
-from .tokenization import tokenize_with_offsets
+from .tokenization import CLS_ID, PAD_ID, SEP_ID, token_id, tokenize_with_offsets
 
 Offset = "tuple[int, int] | None"
 
 
-def make_windows(text: str) -> list[dict]:
+def make_windows(text: str, with_inputs: bool = False) -> list[dict]:
     """Split a document into tagger windows.
 
     Returns a list of samples ``{"sequence_id", "offsets", "view_offset"}``
@@ -37,9 +37,19 @@ def make_windows(text: str) -> list[dict]:
     /root/reference/src/data.py:181-249. A document with zero tokens yields
     zero windows (the reference would KeyError downstream; we emit no
     mentions instead).
+
+    ``with_inputs=True`` additionally fills ``input_ids`` and
+    ``attention_mask`` per sample exactly as the reference does
+    (/root/reference/src/data.py:238-249): left PADs carry mask 0, every
+    real token 1, and the window is [CLS] + 63-left + 384-center +
+    63-right + [SEP] with mask 1 on CLS/SEP. This is what a real
+    token-classification model consumes.
     """
     offsets = tokenize_with_offsets(text)
     padded: list = [None] * CTX + list(offsets)
+    if with_inputs:
+        ids: list = [PAD_ID] * CTX + [token_id(text[s:e]) for s, e in offsets]
+        attn: list = [0] * CTX + [1] * len(offsets)
     samples = []
     j = 0
     for i in range(CTX, len(padded), CENTER_TOKENS):
@@ -52,11 +62,19 @@ def make_windows(text: str) -> list[dict]:
             low, high = sample_offsets[CONTEXT_SIZE][0], sample_offsets[-2][1]
         else:
             low, high = sample_offsets[1][0], sample_offsets[-2][1]
-        samples.append({
+        sample = {
             "sequence_id": j,
             "offsets": sample_offsets,
             "view_offset": (low, high),
-        })
+        }
+        if with_inputs:
+            hi = i + CENTER_TOKENS
+            sample["input_ids"] = ([CLS_ID] + ids[i - CTX:i] + ids[i:hi]
+                                   + ids[hi:hi + CTX] + [SEP_ID])
+            sample["attention_mask"] = ([1] + attn[i - CTX:i] + attn[i:hi]
+                                        + attn[hi:hi + CTX] + [1])
+            assert len(sample["input_ids"]) == len(sample_offsets)
+        samples.append(sample)
         j += 1
     return samples
 
