@@ -508,9 +508,33 @@ def q_events_sessionize(sf_dir: str):
 
 def q_kg_stage_counts(sf_dir: str):
     """Per-stage corpus counters (reference A5: printed counts,
-    taxonomy.py:98-108, cleaner.py:6-26) as a queryable table."""
-    from bionext_ray.ops.relational import partial_final_agg
-    stages = _kg_stages(sf_dir)
+    taxonomy.py:98-108, cleaner.py:6-26) as a queryable table.
+
+    The extract+tag prefix runs ONCE: the tagged dataset is materialized
+    (object-store blocks) and both the detected counts and the linker
+    consume those blocks, instead of two lazy datasets re-running the
+    whole prefix each."""
+    import ray as _ray
+
+    from bionext_ray.kb import default_kb
+    from bionext_ray.ops.relational import (estimate_partitions,
+                                            partial_final_agg)
+    from bionext_ray.pipeline import pages_from_documents
+    from bionext_ray.stages.extract import extract_stage
+    from bionext_ray.stages.linker import linker_stage
+    from bionext_ray.stages.tagger import explode_mentions, tagger_stage
+
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    pool = (1, max(2, ncpu - max(1, ncpu // 8)))
+    kb = default_kb()
+    kb_ref = _ray.put(kb)
+    docs = extract_stage(
+        pages_from_documents(sf_dir, num_blocks=max(2 * ncpu, sp)),
+        batch_size=512)
+    tagged = tagger_stage(docs, kb.gazetteer, concurrency=pool,
+                          batch_size=256).materialize()
+    linked = linker_stage(tagged, kb_ref, concurrency=pool, batch_size=256)
 
     def count_by_label(ds, prefix):
         # distributed: in-block combine per label, tiny final groupby —
@@ -524,8 +548,8 @@ def q_kg_stage_counts(sf_dir: str):
                                 ["counter"], [("one", "sum", "n")])
         return agg.to_pandas()
 
-    det = count_by_label(stages["mentions"], "detected")
-    lnk = count_by_label(stages["linked_mentions"], "linked")
+    det = count_by_label(explode_mentions(tagged), "detected")
+    lnk = count_by_label(explode_mentions(linked), "linked")
     rows = [(r.counter, int(r.n)) for r in det.itertuples()]
     rows += [(r.counter, int(r.n)) for r in lnk.itertuples()]
     rows.append(("detected_total", int(det["n"].sum())))
@@ -586,6 +610,54 @@ def q_multimodal_frames(sf_dir: str):
     return frames.map_batches(meta_only, batch_format="pyarrow")
 
 
+def q_image_features(sf_dir: str):
+    """REAL image decode: deterministic 24-bit BMPs are synthesized per doc
+    (pattern pixel[y,x,c] = (7*doc_id + x + 3*y + 11*c) % 256, dims from
+    doc_id), then the BMP decoder parses headers/padded rows and emits
+    dimensions + exact integer channel means — all SQL-oracle-checkable."""
+    from bionext_ray.ops.multimodal import encode_bmp, feature_extract
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_bmp(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch["doc_id"].to_pylist():
+            h, w = 8 + d % 5, 8 + d % 7
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                                  indexing="ij")
+            px = ((7 * d + x + 3 * y + 11 * c) % 256).astype(np.uint8)
+            payloads.append(encode_bmp(px))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    feats = feature_extract(ds.map_batches(to_bmp, batch_format="pyarrow"),
+                            modality="image", batch_size=128)
+    return feats.select_columns([
+        "doc_id", "n_bytes", "width", "height",
+        "mean_r_milli", "mean_g_milli", "mean_b_milli"])
+
+
+def q_audio_features(sf_dir: str):
+    """REAL audio decode: deterministic 16-bit PCM WAVs are synthesized per
+    doc (sample[i] = (13*doc_id + 17*i) % 4096 - 2048, length from doc_id),
+    then the RIFF/fmt/data chunk walk emits rate/length/duration features."""
+    from bionext_ray.ops.multimodal import encode_wav, feature_extract
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch["doc_id"].to_pylist():
+            n = 1000 + (d % 5) * 100
+            s = ((13 * d + 17 * np.arange(n)) % 4096 - 2048).astype(np.int16)
+            payloads.append(encode_wav(s, 16000))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    feats = feature_extract(ds.map_batches(to_wav, batch_format="pyarrow"),
+                            modality="audio", batch_size=128)
+    return feats.select_columns([
+        "doc_id", "n_bytes", "sample_rate", "n_samples", "duration_ms"])
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -631,6 +703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_stage_counts": q_kg_stage_counts,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
     }
 
 
@@ -745,6 +819,43 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        # mirrors the synthesized BMP pattern pixel-for-pixel: the engine
+        # DECODES real BMP bytes (header parse, padded bottom-up rows); the
+        # oracle recomputes the same pattern arithmetically. n_bytes is the
+        # BMP size formula (54-byte headers + 4-byte-aligned rows).
+        "image_features": """
+            WITH dims AS (
+                SELECT doc_id, 8 + doc_id % 5 AS hh, 8 + doc_id % 7 AS ww
+                FROM documents
+            ), px AS (
+                SELECT d.doc_id, d.ww, d.hh, c.range AS c,
+                       SUM((7*d.doc_id + x.range + 3*y.range + 11*c.range)
+                           % 256) AS s
+                FROM dims d, range(15) x, range(13) y, range(3) c
+                WHERE x.range < d.ww AND y.range < d.hh
+                GROUP BY d.doc_id, d.ww, d.hh, c.range
+            )
+            SELECT doc_id,
+                   54 + ((ww*3 + 3) // 4 * 4) * hh AS n_bytes,
+                   ww AS width, hh AS height,
+                   MAX(CASE WHEN c = 0 THEN CAST(1000*s AS BIGINT)
+                       // (ww*hh) END) AS mean_r_milli,
+                   MAX(CASE WHEN c = 1 THEN CAST(1000*s AS BIGINT)
+                       // (ww*hh) END) AS mean_g_milli,
+                   MAX(CASE WHEN c = 2 THEN CAST(1000*s AS BIGINT)
+                       // (ww*hh) END) AS mean_b_milli
+            FROM px GROUP BY doc_id, ww, hh
+        """,
+        # mirrors the synthesized PCM WAV: 44 header bytes + 2 bytes/sample,
+        # integer-truncated duration at 16 kHz
+        "audio_features": """
+            SELECT doc_id,
+                   44 + 2 * (1000 + (doc_id % 5) * 100) AS n_bytes,
+                   16000 AS sample_rate,
+                   1000 + (doc_id % 5) * 100 AS n_samples,
+                   (1000 + (doc_id % 5) * 100) * 1000 // 16000 AS duration_ms
+            FROM documents
         """,
         "simsearch_topk": """
             SELECT row_number() OVER (

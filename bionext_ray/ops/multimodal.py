@@ -1,31 +1,133 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-decode kernels are STUBS — ``decode_image``/``decode_audio`` raise
-NotImplementedError unless ``fake=True`` selects the deterministic fake
-(byte-length + keyed content digest features). Everything Ray-side is real
-and tested: schema, actor-pool stage, small batch sizes for large binary
-rows, pyarrow-only batch format (binary columns must never round-trip
-through pandas object dtype).
+The image and audio decoders are REAL pure-Python/numpy codecs for the two
+classic header+payload container formats — 24-bit uncompressed BMP
+(``decode_bmp``/``encode_bmp``) and 16-bit PCM WAV
+(``decode_wav``/``encode_wav``) — so the feature-extract and resize stages
+exercise genuine decode work (header parse, padded-row/chunk walk, pixel
+math) with zero external libraries. Codec-library formats (JPEG/MP3/MP4)
+would slot into the same kernels; video frame sampling stays a stub behind
+the deterministic fake because container demuxing genuinely needs one.
+Everything Ray-side is real and tested: schema, actor-pool stage, small
+batch sizes for large binary rows, pyarrow-only batch format (binary
+columns must never round-trip through pandas object dtype).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
+import numpy as np
 import pyarrow as pa
 
 
+# ------------------------------------------------------------- BMP codec
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit BI_RGB BMP bytes (bottom-up rows,
+    4-byte row padding)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    bgr = np.ascontiguousarray(pixels[:, :, ::-1])
+    pad = b"\x00" * (row_size - w * 3)
+    rows = [bgr[r].tobytes() + pad for r in range(h - 1, -1, -1)]
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes -> (H, W, 3) uint8 RGB array. Handles
+    bottom-up (positive height) and top-down (negative) pixel order and the
+    4-byte row padding; rejects compressed or non-24-bit files."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported "
+                         f"(bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(payload, np.uint8, row_size * h,
+                        data_offset).reshape(h, row_size)
+    bgr = arr[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()           # BGR -> RGB
+
+
 def decode_image(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use FeatureExtractStage(fake=True) for plumbing tests")
+    """Real image decode (BMP): dimensions + per-channel mean features."""
+    rgb = decode_bmp(payload)
+    n = rgb.shape[0] * rgb.shape[1]
+    # exact integer channel means (milli-scaled) so an SQL oracle over the
+    # generated pixel pattern can reproduce them bit-for-bit
+    sums = (rgb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            if n else np.zeros(3, dtype=np.int64))
+    return {
+        "n_bytes": len(payload),
+        "content_id": hashlib.blake2b(payload, digest_size=8).hexdigest(),
+        "width": int(rgb.shape[1]),
+        "height": int(rgb.shape[0]),
+        "mean_r_milli": int(1000 * sums[0] // n) if n else 0,
+        "mean_g_milli": int(1000 * sums[1] // n) if n else 0,
+        "mean_b_milli": int(1000 * sums[2] // n) if n else 0,
+    }
+
+
+# ------------------------------------------------------------- WAV codec
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> PCM WAV bytes (RIFF/fmt/data chunks)."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (int16 sample array, sample_rate). Walks the RIFF
+    chunk list (fmt may not directly precede data); rejects non-PCM or
+    non-16-bit encodings."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, bits, fmt_code, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload,
+                                                             pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, _, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)        # chunks are word-aligned
+    if fmt_code != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM WAV supported "
+                         f"(fmt={fmt_code}, bits={bits})")
+    if data is None:
+        raise ValueError("WAV payload has no data chunk")
+    return np.frombuffer(data, dtype="<i2"), int(sample_rate)
 
 
 def decode_audio(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "audio decoding requires an audio library not present in this "
-        "environment; use FeatureExtractStage(fake=True) for plumbing tests")
+    """Real audio decode (PCM WAV): duration + RMS loudness features."""
+    samples, rate = decode_wav(payload)
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) \
+        if samples.size else 0.0
+    return {
+        "n_bytes": len(payload),
+        "content_id": hashlib.blake2b(payload, digest_size=8).hexdigest(),
+        "sample_rate": rate,
+        "n_samples": int(samples.size),
+        "duration_ms": int(samples.size) * 1000 // rate if rate else 0,
+        "rms_milli": int(rms * 1000),
+    }
 
 
 def _fake_features(payload: bytes | None) -> dict:
@@ -34,39 +136,61 @@ def _fake_features(payload: bytes | None) -> dict:
     return {"n_bytes": len(payload), "content_id": digest}
 
 
-class FeatureExtractStage:
-    """Actor-pool stage: binary column -> feature columns.
+_FEATURE_COLS = {
+    "fake": ["n_bytes", "content_id"],
+    "image": ["n_bytes", "content_id", "width", "height",
+              "mean_r_milli", "mean_g_milli", "mean_b_milli"],
+    "audio": ["n_bytes", "content_id", "sample_rate", "n_samples",
+              "duration_ms", "rms_milli"],
+}
 
-    Use small ``batch_size`` (large binary payloads x concurrency must fit a
-    worker heap) and ``batch_format='pyarrow'`` end to end.
+
+class FeatureExtractStage:
+    """Actor-pool stage: binary column -> typed feature columns.
+
+    ``modality``: 'image' (BMP decode), 'audio' (WAV decode) — real decode
+    work per row — or the deterministic fake when ``fake=True``. Use small
+    ``batch_size`` (large binary payloads x concurrency must fit a worker
+    heap) and ``batch_format='pyarrow'`` end to end.
     """
 
-    def __init__(self, payload_col: str = "payload", fake: bool = False):
+    def __init__(self, payload_col: str = "payload", fake: bool = False,
+                 modality: str = "image"):
         self.payload_col = payload_col
-        self.fake = fake
-        self.decoder = _fake_features if fake else decode_image
+        if fake:
+            self.decoder, self.cols = _fake_features, _FEATURE_COLS["fake"]
+        elif modality == "audio":
+            self.decoder, self.cols = decode_audio, _FEATURE_COLS["audio"]
+        else:
+            self.decoder, self.cols = decode_image, _FEATURE_COLS["image"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self.decoder(p) for p in batch[self.payload_col].to_pylist()]
-        batch = batch.append_column(
-            "n_bytes", pa.array([f["n_bytes"] for f in feats], pa.int64()))
-        return batch.append_column(
-            "content_id", pa.array([f["content_id"] for f in feats], pa.string()))
+        for col in self.cols:
+            typ = pa.string() if col == "content_id" else pa.int64()
+            batch = batch.append_column(
+                col, pa.array([f[col] for f in feats], typ))
+        return batch
 
 
 def feature_extract(ds, payload_col: str = "payload", fake: bool = False,
-                    batch_size: int = 64, concurrency=2):
+                    modality: str = "image", batch_size: int = 64,
+                    concurrency=2):
     return ds.map_batches(
         FeatureExtractStage, fn_constructor_kwargs={
-            "payload_col": payload_col, "fake": fake},
+            "payload_col": payload_col, "fake": fake, "modality": modality},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    raise NotImplementedError(
-        "image resize requires an imaging library not present in this "
-        "environment; use ResizeStage(fake=True) for plumbing tests")
+    """Real image resize: BMP decode -> nearest-neighbor resample (two
+    vectorized index maps) -> BMP re-encode."""
+    rgb = decode_bmp(payload)
+    h, w = rgb.shape[:2]
+    yi = (np.arange(height, dtype=np.int64) * h) // height
+    xi = (np.arange(width, dtype=np.int64) * w) // width
+    return encode_bmp(rgb[yi][:, xi])
 
 
 def _fake_resize(payload: bytes | None, width: int, height: int) -> bytes:

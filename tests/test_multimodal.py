@@ -1,7 +1,8 @@
-"""Multimodal plumbing: the decode kernels are stubs (no imaging/audio libs
-in this container), but the Ray-side shape — pyarrow-only binary columns,
-actor-pool stages, fan-out explosion, typed metadata — is real and pinned
-here. Real decoders drop into the same stage classes."""
+"""Multimodal: REAL pure-Python BMP/WAV codecs (roundtrip + feature
+extraction pinned here and by the image_features/audio_features SQL
+oracles), plus the Ray-side shape — pyarrow-only binary columns, actor-pool
+stages, fan-out explosion, typed metadata. Only video frame sampling stays
+a stub (container demuxing needs an external lib)."""
 
 import pyarrow as pa
 import pytest
@@ -15,14 +16,66 @@ def _payload_table(n=6):
     })
 
 
-def test_decode_stubs_raise():
+def test_decoders_reject_junk_and_video_stub_raises():
     from bionext_ray.ops.multimodal import (decode_audio, decode_image,
                                             resize_image, sample_frames)
     for fn, args in [(decode_image, (b"x",)), (decode_audio, (b"x",)),
-                     (resize_image, (b"x", 4, 4)),
-                     (sample_frames, (b"x", 2))]:
-        with pytest.raises(NotImplementedError):
+                     (resize_image, (b"x", 4, 4))]:
+        with pytest.raises(ValueError):
             fn(*args)
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"x", 2)
+
+
+def test_bmp_codec_roundtrip_and_features():
+    import numpy as np
+
+    from bionext_ray.ops.multimodal import (decode_bmp, decode_image,
+                                            encode_bmp, resize_image)
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (9, 17, 3)).astype(np.uint8)  # odd width -> pad
+    payload = encode_bmp(px)
+    assert np.array_equal(decode_bmp(payload), px)
+    f = decode_image(payload)
+    assert (f["width"], f["height"]) == (17, 9)
+    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    assert f["mean_r_milli"] == 1000 * sums[0] // (17 * 9)
+    # real nearest-neighbor resize: output decodes to the target dims
+    small = decode_bmp(resize_image(payload, 5, 4))
+    assert small.shape == (4, 5, 3)
+    # corner pixels survive nearest-neighbor
+    assert tuple(small[0, 0]) == tuple(px[0, 0])
+
+
+def test_wav_codec_roundtrip_and_features():
+    import numpy as np
+
+    from bionext_ray.ops.multimodal import decode_audio, decode_wav, encode_wav
+    s = ((np.arange(3200) * 37) % 4096 - 2048).astype(np.int16)
+    payload = encode_wav(s, 16000)
+    s2, rate = decode_wav(payload)
+    assert np.array_equal(s, s2) and rate == 16000
+    f = decode_audio(payload)
+    assert f["n_samples"] == 3200 and f["duration_ms"] == 200
+    assert f["n_bytes"] == 44 + 2 * 3200
+
+
+def test_real_decode_stage(ray_session):
+    import numpy as np
+    import ray.data
+
+    from bionext_ray.ops.multimodal import encode_bmp, feature_extract
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b"], pa.string()),
+        "payload": pa.array([
+            encode_bmp(np.full((4, 6, 3), 10, np.uint8)),
+            encode_bmp(np.full((8, 2, 3), 250, np.uint8))], pa.binary()),
+    })
+    out = feature_extract(ray.data.from_arrow(tbl), modality="image",
+                          batch_size=1).to_pandas().sort_values("doc_id")
+    assert out["width"].tolist() == [6, 2]
+    assert out["height"].tolist() == [4, 8]
+    assert out["mean_g_milli"].tolist() == [10000, 250000]
 
 
 def test_feature_extract_and_resize(ray_session):
