@@ -137,3 +137,54 @@ def test_reads_reference_golden_files():
     for r in rels[:10]:
         assert r["infons"]["entity1"] in linked_ids
         assert r["infons"]["entity2"] in linked_ids
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_GOLD),
+                    reason="reference golden outputs not present")
+def test_golden_100doc_run_structural_parity():
+    """Structural parity against the reference's OWN 100-doc golden run
+    (outputs/{linker,extractor}/predicts.json): the reader consumes the
+    full corpus; the linker output obeys the cleaner's id discipline (M12:
+    ids renumbered 0..n-1, no '-' identifiers survive); and every one of
+    the 1,247 golden relations is reachable by THIS engine's candidate
+    machinery — type-pair mask + unique-(id,type) enumeration +
+    composite-id comma cross-product — run on the reference's real
+    annotations."""
+    import json as _json
+
+    from bionext_ray.constants import ID2LABEL_NOVEL, ID2LABEL_RELATION
+    from bionext_ray.functions.relext import candidate_pairs
+
+    ln = bioc_file_to_table(f"{REF_GOLD}/linker/predicts.json")
+    assert ln.num_rows == 100
+    for row in ln.to_pylist():
+        ids = [int(m["id"]) for m in row["mentions"]]
+        assert ids == list(range(len(ids))), row["doc_id"]
+        assert all(m["linked"] not in ("-", "", None)
+                   for m in row["mentions"]), row["doc_id"]
+        # spans stay absolute into the ' '-joined text at corpus scale
+        for m in row["mentions"]:
+            assert row["text"][m["start_span"]:m["end_span"]] == m["text"]
+
+    ex = _json.load(open(f"{REF_GOLD}/extractor/predicts.json"))
+    ex_rows = bioc_file_to_table(f"{REF_GOLD}/extractor/predicts.json")
+    rel_labels = set(ID2LABEL_RELATION.values())
+    nov_labels = set(ID2LABEL_NOVEL.values())
+    n_rel = 0
+    for doc, row in zip(ex["documents"], ex_rows.to_pylist()):
+        ments = [{"linked": m["linked"], "label": m["label"]}
+                 for m in row["mentions"]]
+        expanded = set()
+        for e1, e2 in candidate_pairs(ments):
+            for p1 in str(e1[0]).split(","):
+                for p2 in str(e2[0]).split(","):
+                    expanded.add((p1, p2))
+                    expanded.add((p2, p1))
+        for r in doc.get("relations") or []:
+            inf = r["infons"]
+            n_rel += 1
+            assert inf["type"] in rel_labels, inf
+            assert inf["novel"] in nov_labels, inf
+            assert (str(inf["entity1"]), str(inf["entity2"])) in expanded, \
+                (row["doc_id"], inf)
+    assert n_rel == 1247          # the full golden relation set was checked
