@@ -3,8 +3,12 @@ $GRAFT_SF_DIR (default /root/testdata/sf0.1), printing ONE JSON line.
 
 Usage:
     python bench.py                 # one run at RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling       # fresh-process runs at 8 and 32 CPUs,
-                                    # reports throughputs + scaling efficiency
+    python bench.py --scaling       # fresh-process runs at 4, 8, 16 and 32
+                                    # CPUs; reports the prescribed 8->32 pair
+                                    # AND the bandwidth-fair 4->16 pair, each
+                                    # with throughputs + scaling efficiency
+                                    # (override pairs: BENCH_SCALING_PAIRS,
+                                    # e.g. "8:32" or "8:32,4:16")
 
 The headline metric is end-to-end seconds for pages -> canonical triples
 (extract, tag, link, extract-relations, canonicalize) over the
@@ -93,16 +97,20 @@ def _run_scaling_leg(ncpu: int) -> dict:
 
 
 def _run_scaling_pipeline() -> dict:
-    """Scaling-leg body: the KG pipeline over the sf corpus replicated
-    REPL_FACTOR times (deterministic doc_id suffixing). The sf0.1 corpus
-    alone finishes in seconds and is dominated by fixed startup costs; the
-    replicated corpus makes the measurement compute-bound, which is what the
-    N-vs-4N criterion is about. Same derived input at both CPU levels."""
+    """Scaling-leg body: the KG pipeline over a PAGES parquet corpus derived
+    from the sf documents replicated REPL_FACTOR times (deterministic doc_id
+    suffixing). Input synthesis — replication, pages derivation, the parquet
+    write — happens UNTIMED; the timed section is what a production run
+    does: read pages parquet -> extract text -> fused tag/link/extract ->
+    canonicalize. The sf0.1 corpus alone finishes in seconds and is
+    startup-dominated; the replicated corpus makes the measurement
+    compute-bound, which is what the N-vs-4N criterion is about. Same
+    derived input at every CPU level (corpus cached on disk across legs)."""
     import ray
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    factor = int(os.environ.get("BENCH_REPL_FACTOR", "40"))
+    factor = int(os.environ.get("BENCH_REPL_FACTOR", "80"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR")
@@ -115,42 +123,52 @@ def _run_scaling_pipeline() -> dict:
 
     from bionext_ray.pipeline import kg_stage_datasets, pages_from_documents
 
-    base = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
-    n = base.num_rows
-    copies = []
-    for i in range(factor):
-        t = base.set_column(0, "doc_id",
-                            pa.compute.add(base["doc_id"], i * 10 * n))
-        copies.append(t)
-    big = pa.concat_tables(copies)
+    # ---- untimed input synthesis, cached across legs of one bench run
+    pages_dir = os.environ.get(
+        "BENCH_PAGES_DIR",
+        f"/tmp/bench_pages_sf{os.path.basename(sf_dir)}_x{factor}")
+    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        base = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        n = base.num_rows
+        copies = []
+        for i in range(factor):
+            t = base.set_column(0, "doc_id",
+                                pa.compute.add(base["doc_id"], i * 10 * n))
+            copies.append(t)
+        big = pa.concat_tables(copies)
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix="bench_scaling_docs_")
+        # small row groups so the derivation read splits into parallel tasks
+        pq.write_table(big, f"{tmp}/documents.parquet", row_group_size=2048)
+        os.makedirs(pages_dir, exist_ok=True)
+        # distributed derive + write (one file per block, resumable shape)
+        pages_from_documents(tmp, num_blocks=64).write_parquet(
+            pages_dir, row_group_size=2048)
 
-    import tempfile
-    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
-    # small row groups so the read splits into parallel tasks (a single
-    # 400k-row group serializes the read and starves the actor pool)
-    pq.write_table(big, f"{tmp}/documents.parquet", row_group_size=2048)
-
-    import ray as _ray
-    ncpu_avail = int(_ray.cluster_resources().get("CPU", num_cpus))
+    ncpu_avail = int(ray.cluster_resources().get("CPU", num_cpus))
     from bionext_ray.ops.relational import estimate_partitions
-    sp = estimate_partitions(f"{tmp}/documents.parquet")
+    sp = estimate_partitions(pages_dir)
     # fixed-width pool sized below the CPU count (read tasks need slots;
-    # a pool equal to num_cpus starves the upstream read and deadlocks);
-    # ~4 blocks per actor bounds tail imbalance without per-task overload
+    # a pool equal to num_cpus starves the upstream read and deadlocks)
     pool = max(2, ncpu_avail - max(1, ncpu_avail // 8))
-    stages = kg_stage_datasets(
-        pages_from_documents(tmp, num_blocks=max(4 * ncpu_avail, sp)),
-        concurrency=pool,
-        batch_size=256, shuffle_partitions=sp)
+    pages = ray.data.read_parquet(
+        pages_dir, override_num_blocks=max(4 * ncpu_avail, sp))
+
+    # ---- timed: the actual pipeline a production run executes
     t0 = time.perf_counter()
+    stages = kg_stage_datasets(pages, concurrency=pool, batch_size=256,
+                               shuffle_partitions=sp)
     n_triples = stages["canonical"].count()
     wall = time.perf_counter() - t0
+    n_pages = sum(
+        pq.read_metadata(os.path.join(pages_dir, f)).num_rows
+        for f in os.listdir(pages_dir) if f.endswith(".parquet"))
     result = {
         "value": round(wall, 3),
-        "pages": big.num_rows,
+        "pages": n_pages,
         "canonical_triples": n_triples,
-        "pages_per_sec": round(big.num_rows / wall, 2),
+        "pages_per_sec": round(n_pages / wall, 2),
         "triples_per_sec": round(n_triples / wall, 2),
         "num_cpus": num_cpus,
         "sf": sf_dir,
@@ -164,28 +182,43 @@ def main():
     if os.environ.get("BENCH_SCALING_LEG"):
         print(json.dumps(_run_scaling_pipeline()))
     elif "--scaling" in sys.argv:
-        # N -> 4N CPUs. Default 4->16: the 8->32 pair saturates this
-        # box's memory bandwidth (28 string-heavy workers inflate per-doc
-        # cost ~1.26x even under plain multiprocessing, capping measurable
-        # efficiency at ~0.79 regardless of the execution engine); 4->16
-        # keeps both legs bandwidth-fair. Override with BENCH_SCALING_CPUS.
-        lo, hi = (int(x) for x in
-                  os.environ.get("BENCH_SCALING_CPUS", "4,16").split(","))
-        r_lo = _run_scaling_leg(lo)
-        r_hi = _run_scaling_leg(hi)
-        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        # N -> 4N CPUs, BOTH pairs reported honestly: 8->32 is the
+        # prescribed target pair; 4->16 isolates the engine from this
+        # one-box confound (at 28 string-heavy workers the machine's memory
+        # bandwidth saturates — plain multiprocessing shows the same per-doc
+        # inflation — so 8->32 under-reads any engine). A real 4x-node
+        # cluster multiplies bandwidth with CPUs, which 4->16 models better.
+        pairs = [tuple(int(x) for x in p.split(":")) for p in
+                 os.environ.get("BENCH_SCALING_PAIRS", "8:32,4:16").split(",")]
+        legs: dict[int, dict] = {}
+        for lo, hi in pairs:
+            for n in (lo, hi):
+                if n not in legs:
+                    legs[n] = _run_scaling_leg(n)
+        out_pairs = []
+        for lo, hi in pairs:
+            r_lo, r_hi = legs[lo], legs[hi]
+            eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+            out_pairs.append({
+                "cpus_lo": lo, "cpus_hi": hi,
+                "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+                "pages_per_sec_lo": r_lo["pages_per_sec"],
+                "pages_per_sec_hi": r_hi["pages_per_sec"],
+                "triples_per_sec_lo": r_lo["triples_per_sec"],
+                "triples_per_sec_hi": r_hi["triples_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            })
+        first = legs[pairs[0][0]]
         print(json.dumps({
             "metric": "kg_pipeline_scaling",
-            "cpus_lo": lo, "cpus_hi": hi,
-            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
-            "pages": r_lo["pages"],
-            "pages_per_sec_lo": r_lo["pages_per_sec"],
-            "pages_per_sec_hi": r_hi["pages_per_sec"],
-            "triples_per_sec_lo": r_lo["triples_per_sec"],
-            "triples_per_sec_hi": r_hi["triples_per_sec"],
-            "scaling_efficiency": round(eff, 3),
-            "sf": r_lo["sf"],
-            "repl_factor": r_lo["repl_factor"],
+            "pairs": out_pairs,
+            # headline fields = FIRST pair (prescribed 8->32 by default)
+            **{k: out_pairs[0][k] for k in
+               ("cpus_lo", "cpus_hi", "sec_lo", "sec_hi",
+                "scaling_efficiency")},
+            "pages": first["pages"],
+            "sf": first["sf"],
+            "repl_factor": first["repl_factor"],
         }))
     else:
         print(json.dumps(_run_bench()))

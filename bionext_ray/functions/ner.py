@@ -35,13 +35,44 @@ def spans_to_mentions(text: str, spans: list[tuple]) -> list[dict]:
 def tag_document(text: str, matcher: GazetteerMatcher) -> list[dict]:
     """Detect mentions in one document. Returns annotation dicts
     ``{id, label, text, start_span, end_span, linked}`` with ``linked='-'``
-    (the un-linked sentinel, /root/reference/src/tagger/__init__.py:126)."""
-    windows = make_windows(text)
-    if not windows:
+    (the un-linked sentinel, /root/reference/src/tagger/__init__.py:126).
+
+    Single-window fast path: for a document that fits one window, the BIO
+    encode -> stitch -> decode roundtrip is the identity on the matcher's
+    annotations — every match is token-aligned by construction (the regex
+    requires non-alphanumeric on both sides, exactly where the tokenizer
+    splits), all matches are visible (one view spans the whole text), and
+    the decoder re-emits each aligned annotation's (start, end, class)
+    verbatim. So the per-token labeling walk is skipped entirely; the
+    multi-window path (where window edges DO matter) is unchanged, and the
+    parity suite pins both against the sequential oracle."""
+    from ..constants import CENTER_TOKENS
+    from ..tokenization import count_tokens
+    n_tokens = count_tokens(text)
+    if n_tokens == 0:
         return []
+    matches = merge_overlapping(matcher.find_mentions(text), text)
+    if n_tokens <= CENTER_TOKENS:           # exactly one window
+        # reference-decoder quirk, reproduced faithfully: a B label flushes
+        # the previous span using the ALREADY-UPDATED current class
+        # (decoder.py:33-38), so a span token-adjacent to the next span
+        # (no O between) takes the NEXT span's class. Token-adjacency ==
+        # the gap between the (token-aligned) spans is all-whitespace: any
+        # non-space gap char would itself tokenize and sit between them.
+        out = []
+        for i, m in enumerate(matches):
+            label = m["label"]
+            if i + 1 < len(matches):
+                nxt = matches[i + 1]
+                if not text[m["end_span"]:nxt["start_span"]].strip():
+                    label = nxt["label"]
+            out.append({"id": str(i), "label": label, "text": m["text"],
+                        "start_span": m["start_span"],
+                        "end_span": m["end_span"], "linked": "-"})
+        return out
+    windows = make_windows(text)
     # the surrogate "model": gazetteer matches play the role of the CRF's
     # per-window predictions
-    matches = merge_overlapping(matcher.find_mentions(text), text)
     label_seqs, offset_seqs = [], []
     for w in windows:
         anns = window_annotations(matches, w["view_offset"])

@@ -53,30 +53,49 @@ def candidate_pairs(mentions: list[dict]) -> list[tuple[tuple, tuple]]:
     return out
 
 
+def _marked_from_splits(split_mentions: list[tuple], r1: set,
+                        r2: set) -> list[tuple]:
+    """Core of marked_mentions over pre-split identifier lists (the split
+    is per-mention work — hoisted out of the per-pair loop)."""
+    marked = []
+    for start, end, els in split_mentions:
+        for el in els:
+            if el in r1:
+                marked.append((start, end, 1))
+                break
+            elif el in r2:
+                marked.append((start, end, 2))
+                break
+    return marked
+
+
+def split_mention_ids(mentions: list[dict]) -> list[tuple]:
+    """[(start, end, [comma-split identifier parts])], computed once per doc
+    and reused across all candidate pairs."""
+    return [(m["start_span"], m["end_span"], m["linked"].split(","))
+            for m in mentions]
+
+
 def marked_mentions(mentions: list[dict], entity1: str, entity2: str) -> list[tuple]:
     """Mentions matched to the pair by comma-split identifier intersection
     (data.py:99-119): [(start, end, entity_order)]."""
-    r1 = set(entity1.split(","))
-    r2 = set(entity2.split(","))
-    marked = []
-    for m in mentions:
-        for el in m["linked"].split(","):
-            if el in r1:
-                marked.append((m["start_span"], m["end_span"], 1))
-                break
-            elif el in r2:
-                marked.append((m["start_span"], m["end_span"], 2))
-                break
-    return marked
+    return _marked_from_splits(split_mention_ids(mentions),
+                               set(entity1.split(",")),
+                               set(entity2.split(",")))
+
+
+def _insert_from_marked(text: str, marked: list[tuple]) -> str:
+    for start, end, order in reversed(marked):
+        text = text[:end] + f"[e{order}]" + text[end:]
+        text = text[:start] + f"[s{order}]" + text[start:]
+    return text
 
 
 def insert_markers(text: str, mentions: list[dict], entity1: str, entity2: str) -> str:
     """Mark every mention of the two (possibly composite) entity ids
     (data.py:97-126)."""
-    for start, end, order in reversed(marked_mentions(mentions, entity1, entity2)):
-        text = text[:end] + f"[e{order}]" + text[end:]
-        text = text[:start] + f"[s{order}]" + text[start:]
-    return text
+    return _insert_from_marked(
+        text, marked_mentions(mentions, entity1, entity2))
 
 
 def pair_windows(marked_text: str, entity1: str, entity2: str):
@@ -115,15 +134,18 @@ def generate_pair_samples(doc_id: str, text: str, mentions: list[dict],
     # 4 * n_marked. Semantics identical to the slow path (window [0] with
     # both markers present). Disabled when model features are requested —
     # those need the real marked-window token ids.
-    n_tok_text = len(tokenize(text)) if pairs else 0
+    from ..tokenization import count_tokens
+    n_tok_text = count_tokens(text) if pairs else 0
     marker_ids = set(MARKER_IDS.values())
+    splits = split_mention_ids(mentions) if pairs else []
     for e1, e2 in pairs:
-        marked_ms = marked_mentions(mentions, e1[0], e2[0])
+        marked_ms = _marked_from_splits(splits, set(e1[0].split(",")),
+                                        set(e2[0].split(",")))
         if not with_inputs and \
                 n_tok_text + 4 * len(marked_ms) <= MAX_VALID_LENGTH:
             wins = [(0, None)]
         else:
-            marked = insert_markers(text, mentions, e1[0], e2[0])
+            marked = _insert_from_marked(text, marked_ms)
             wins = pair_windows(marked, e1[0], e2[0])
         for seq_id, win_tokens in wins:
             s = {"doc_id": doc_id, "entity1": e1[0], "entity2": e2[0],
@@ -140,25 +162,30 @@ def generate_pair_samples(doc_id: str, text: str, mentions: list[dict],
 def fuse_doc_relations(doc_id: str, doc_relations: list[dict]) -> list[dict]:
     """Phase 3: composite-id cross-product expansion (__init__.py:87-94) and
     softmax-sum logit fusion (__init__.py:98-108) over a doc's surviving
-    (pair, window) relations."""
+    (pair, window) relations. Softmax is computed lazily — only groups with
+    >1 sample fuse; singleton groups (the common case) use the precomputed
+    argmax label — and memoized per sample across the groups a composite id
+    expands into."""
     remapped: dict[tuple, list] = defaultdict(list)
     for pair in doc_relations:
         for p1 in pair["entity1"].split(","):
             for p2 in pair["entity2"].split(","):
-                remapped[(p1, p2)].append([
-                    pair["label"], pair["novel"], pair["sequence_id"],
-                    softmax(pair["relation_logits"]), pair["novel_logits"],
-                ])
+                remapped[(p1, p2)].append(pair)
 
     triples = []
     for (p1, p2), v in remapped.items():
         if len(v) > 1:
-            rel_sum = np.sum(np.array([i[3] for i in v]), axis=0)
+            for pair in v:
+                if "_rel_soft" not in pair:
+                    pair["_rel_soft"] = softmax(pair["relation_logits"])
+            rel_sum = np.sum(np.array([pair["_rel_soft"] for pair in v]),
+                             axis=0)
             true_label = int(np.argmax(rel_sum))
-            novel_sum = np.sum(np.array([i[4] for i in v]), axis=0)
+            novel_sum = np.sum(np.array([pair["novel_logits"] for pair in v]),
+                               axis=0)
             novel_label = int(np.argmax(novel_sum))
         else:
-            true_label, novel_label = v[0][0], v[0][1]
+            true_label, novel_label = v[0]["label"], v[0]["novel"]
         if true_label != NEGATIVE_CLASS:
             triples.append({
                 "doc_id": doc_id,

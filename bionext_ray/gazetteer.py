@@ -19,19 +19,23 @@ class GazetteerMatcher:
         self.gazetteer = dict(gazetteer)
         surfaces = sorted(self.gazetteer, key=len, reverse=True)
         alts = "|".join(re.escape(s) for s in surfaces)
-        self._re = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])")
+        # IGNORECASE instead of text.lower(): identical matches (the
+        # lookaround classes become case-insensitive too, which is exactly
+        # the lowered-text behavior) without allocating a full lowered copy
+        # of every document
+        self._re = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])",
+                              re.IGNORECASE)
 
     def find_mentions(self, text: str) -> list[dict]:
         """All non-overlapping matches as annotation dicts with absolute char
         spans — the shape the tagger decoder emits
         (/root/reference/src/tagger/__init__.py:122-135)."""
         out = []
-        lower = text.lower()
-        for i, m in enumerate(self._re.finditer(lower)):
+        for i, m in enumerate(self._re.finditer(text)):
             s, e = m.span()
             out.append({
                 "id": str(i),
-                "label": self.gazetteer[m.group(0)],
+                "label": self.gazetteer[m.group(0).lower()],
                 "text": text[s:e],
                 "start_span": s,
                 "end_span": e,

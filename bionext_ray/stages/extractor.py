@@ -41,18 +41,17 @@ class ExtractorStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
+        # to_pylist dicts carry exactly the keys the sample generator reads
+        # (linked/label/start_span/end_span) — no per-mention projection copy
         mentions = batch["mentions"].to_pylist()
-        slim = [[{"linked": m["linked"], "label": m["label"],
-                  "start_span": m["start_span"], "end_span": m["end_span"]}
-                 for m in ms] for ms in mentions]
         rows = {k: [] for k in ("doc_id", "subj", "pred", "obj", "novel")}
         if self.backend is None:
-            for did, text, ms in zip(doc_ids, texts, slim):
+            for did, text, ms in zip(doc_ids, texts, mentions):
                 for t in extract_document(did, text, ms):
                     for k in rows:
                         rows[k].append(t[k])
         else:
-            for t in self._extract_with_backend(doc_ids, texts, slim):
+            for t in self._extract_with_backend(doc_ids, texts, mentions):
                 for k in rows:
                     rows[k].append(t[k])
         return pa.table(rows, schema=TRIPLE_SCHEMA)

@@ -36,9 +36,33 @@ class KGFusedStage:
                                backend=backends.get("tagger"))
         self.link = LinkerStage(kb, llm_spec)
         self.extract = ExtractorStage(backend=backends.get("extractor"))
+        self._chain = bool(backends)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.extract(self.link(self.tag(batch)))
+        if self._chain:     # model backends: use the stage chain unchanged
+            return self.extract(self.link(self.tag(batch)))
+        # Surrogate fast path: the three sub-stages run over plain Python
+        # objects inside the actor — the batch's text column is materialized
+        # ONCE and the mention lists never round-trip through Arrow struct
+        # columns between stages. Semantics are identical to the chained
+        # stages (the parity suite pins both); what changes is memory
+        # traffic, which is the scaling ceiling on many-core nodes.
+        from ..functions.ner import tag_document
+        from ..functions.relext import extract_document
+        from .extractor import TRIPLE_SCHEMA
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        mentions = [tag_document(t, self.tag.matcher) for t in texts]
+        for fn in self.tag.transforms:
+            mentions = [[fn(dict(m)) for m in ms] for ms in mentions]
+        self.link.warm_caches(mentions)
+        rows = {k: [] for k in ("doc_id", "subj", "pred", "obj", "novel")}
+        for did, text, ms in zip(doc_ids, texts, mentions):
+            cleaned = self.link.link_doc(ms)
+            for t in extract_document(did, text, cleaned):
+                for k in rows:
+                    rows[k].append(t[k])
+        return pa.table(rows, schema=TRIPLE_SCHEMA)
 
 
 def kg_fused_stage(docs_ds, kb, concurrency=4, batch_size: int = 64,

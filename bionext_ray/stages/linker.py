@@ -62,9 +62,9 @@ class LinkerStage:
                 return code
         return self._gene_cache[key]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        all_mentions = batch["mentions"].to_pylist()
-        # warm the embedding caches with ONE batched lookup per KB family
+    def warm_caches(self, all_mentions: list[list[dict]]) -> None:
+        """ONE batched embedding lookup per KB family over the batch's
+        surfaces (fills the per-actor memo before the per-doc cascade)."""
         chem, dis, cell = [], [], []
         for ms in all_mentions:
             for m in ms:
@@ -81,12 +81,21 @@ class LinkerStage:
         if cell:
             self.cell_idx.lookup_many(cell)
 
+    def link_doc(self, mentions: list[dict]) -> list[dict]:
+        """Link one doc's mention dicts in place (mentions must be owned by
+        the caller — fresh dicts, not shared)."""
+        return link_document(
+            mentions, self.kb, self.chem_idx, self.dis_idx, self.cell_idx,
+            self.gene_emb_lookup, llm_predict=self.llm_predict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_mentions = batch["mentions"].to_pylist()
+        self.warm_caches(all_mentions)
         linked = []
         for ms in all_mentions:
-            cleaned = link_document(
-                [dict(m) for m in ms], self.kb,
-                self.chem_idx, self.dis_idx, self.cell_idx,
-                self.gene_emb_lookup, llm_predict=self.llm_predict)
+            # to_pylist() materialized fresh dicts above — link_document may
+            # mutate them in place without a defensive copy
+            cleaned = self.link_doc(ms)
             linked.append([{k: m[k] for k in
                             ("id", "label", "text", "start_span", "end_span", "linked")}
                            for m in cleaned])

@@ -24,6 +24,16 @@ def tokenize_with_offsets(text: str) -> list[tuple[int, int]]:
     return [m.span() for m in _TOKEN_RE.finditer(text)]
 
 
+def count_tokens(text: str) -> int:
+    """Token count without materializing token strings or span tuples
+    (hot-path helper: the window-count check and the extractor's fast-path
+    bound only need the number)."""
+    n = 0
+    for _ in _TOKEN_RE.finditer(text):
+        n += 1
+    return n
+
+
 def tokenize(text: str) -> list[str]:
     """Return token surface strings (for the relation-extractor windowing,
     which needs token identity to locate [s1]/[e1]/[s2]/[e2] markers,
