@@ -55,6 +55,11 @@ def majority_vote(mentions: list[dict], labels: tuple[str, ...],
                 id_entities[lid].append(m["id"])
     for m in mentions:
         if m["label"] in labels and isinstance(m["linked"], list):
+            # pre-vote candidate list preserved for the linked_mentions
+            # `identifiers` column (SURVEY §1.2) — the vote collapses
+            # `linked` to one id, but debugging a bad link needs what it
+            # chose from
+            m["candidates"] = list(m["linked"])
             cands = [(lid, len(id_entities[lid])) for lid in m["linked"]]
             if guard_empty and not cands:
                 m["linked"] = "-"

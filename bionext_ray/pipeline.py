@@ -134,7 +134,7 @@ def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
         from . import schemas
         for name, expected in (("docs", schemas.DOCS),
                                ("tagged", schemas.TAGGED),
-                               ("linked", schemas.TAGGED),
+                               ("linked", schemas.LINKED),
                                ("triples", schemas.TRIPLES),
                                ("canonical", schemas.CANONICAL)):
             schemas.check_schema(out[name], expected, name)

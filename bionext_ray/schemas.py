@@ -38,6 +38,12 @@ MENTION = pa.struct([
 
 TAGGED = DOCS.append(pa.field("mentions", pa.list_(MENTION)))
 
+# linker output: mentions additionally carry the pre-vote candidate id list
+# (SURVEY §1.2 `identifiers: list<string>` on linked_mentions)
+LINKED_MENTION = pa.struct(
+    list(MENTION) + [("candidates", pa.list_(pa.string()))])
+LINKED = DOCS.append(pa.field("mentions", pa.list_(LINKED_MENTION)))
+
 TRIPLES = pa.schema([
     ("doc_id", pa.string()),
     ("subj", pa.string()),

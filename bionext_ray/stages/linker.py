@@ -24,6 +24,12 @@ from ..functions.linking import EmbeddingIndex, link_document
 from ..kb import KnowledgeBase
 from .tagger import MENTION_TYPE
 
+# linked mentions additionally carry the PRE-VOTE candidate id list
+# (SURVEY §1.2 `identifiers: list<string>`): what the majority vote chose
+# `linked` from, before manual correction
+LINKED_MENTION_TYPE = pa.struct(
+    list(MENTION_TYPE) + [("candidates", pa.list_(pa.string()))])
+
 
 class LinkerStage:
     def __init__(self, kb, llm_spec: dict | None = None):
@@ -96,11 +102,15 @@ class LinkerStage:
             # to_pylist() materialized fresh dicts above — link_document may
             # mutate them in place without a defensive copy
             cleaned = self.link_doc(ms)
-            linked.append([{k: m[k] for k in
-                            ("id", "label", "text", "start_span", "end_span", "linked")}
+            linked.append([{**{k: m[k] for k in
+                               ("id", "label", "text", "start_span",
+                                "end_span", "linked")},
+                            "candidates": m.get("candidates", [])}
                            for m in cleaned])
         batch = batch.drop_columns(["mentions"])
-        return batch.append_column("mentions", pa.array(linked, pa.list_(MENTION_TYPE)))
+        return batch.append_column("mentions",
+                                   pa.array(linked,
+                                            pa.list_(LINKED_MENTION_TYPE)))
 
 
 def linker_stage(tagged_ds, kb, concurrency=4, batch_size: int = 256,

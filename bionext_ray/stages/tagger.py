@@ -71,12 +71,18 @@ def tagger_stage(docs_ds, gazetteer: dict[str, str], concurrency=4,
 
 def explode_mentions(tagged_ds):
     """Flatten the nested mentions column into one row per mention
-    (doc_id, mention_id, label, text, start, end, identifier)."""
+    (doc_id, mention_id, label, text, start, end, identifier[, identifiers
+    — the pre-vote candidate list, present on linker output])."""
     def _explode(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         mentions = batch["mentions"].to_pylist()
+        # decide from the STRUCT TYPE, not the data, so empty blocks keep
+        # the same schema as populated ones
+        mention_struct = batch.schema.field("mentions").type.value_type
+        has_cands = any(f.name == "candidates" for f in mention_struct)
         rows = {"doc_id": [], "mention_id": [], "label": [], "text": [],
                 "start": [], "end": [], "identifier": []}
+        cands = []
         for did, ms in zip(doc_ids, mentions):
             for m in ms:
                 rows["doc_id"].append(did)
@@ -86,7 +92,9 @@ def explode_mentions(tagged_ds):
                 rows["start"].append(m["start_span"])
                 rows["end"].append(m["end_span"])
                 rows["identifier"].append(m["linked"])
-        return pa.table({
+                if has_cands:
+                    cands.append(m.get("candidates") or [])
+        out = {
             "doc_id": pa.array(rows["doc_id"], pa.string()),
             "mention_id": pa.array(rows["mention_id"], pa.int32()),
             "label": pa.array(rows["label"], pa.string()),
@@ -94,5 +102,8 @@ def explode_mentions(tagged_ds):
             "start": pa.array(rows["start"], pa.int64()),
             "end": pa.array(rows["end"], pa.int64()),
             "identifier": pa.array(rows["identifier"], pa.string()),
-        })
+        }
+        if has_cands:
+            out["identifiers"] = pa.array(cands, pa.list_(pa.string()))
+        return pa.table(out)
     return tagged_ds.map_batches(_explode, batch_format="pyarrow")

@@ -158,6 +158,7 @@ def _vote(doc, types, correction=None, guard=False):
                 id_entities[lid].append(ent["id"])
     for ent in doc["entities"]:
         if ent["label"] in types and isinstance(ent["linked_id"], list):
+            ent["candidates"] = list(ent["linked_id"])   # pre-vote list
             cands = [(lid, len(id_entities[lid])) for lid in ent["linked_id"]]
             if guard and not cands:
                 ent["linked_id"] = "-"
@@ -329,7 +330,8 @@ def run_oracle(pages_rows, kb):
         oracle_link(doc, kb)
         for e in doc["entities"]:
             linked_ments.append((doc_id, e["start_span"], e["end_span"],
-                                 e["label"], e["linked_id"]))
+                                 e["label"], e["linked_id"],
+                                 tuple(e.get("candidates", []))))
         triples.extend(oracle_extract(doc))
         docs.append((doc_id, text))
     return {"docs": docs, "mentions": mentions, "linked": linked_ments,

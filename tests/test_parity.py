@@ -60,10 +60,15 @@ def test_mentions_match_oracle(ray_outputs, oracle_outputs):
 
 
 def test_linked_mentions_match_oracle(ray_outputs, oracle_outputs):
-    got = {(r.doc_id, r.start, r.end, r.label, r.identifier)
+    """Identifier AND the pre-vote candidate list (`identifiers` column)
+    must match the oracle per mention."""
+    got = {(r.doc_id, r.start, r.end, r.label, r.identifier,
+            tuple(r.identifiers))
            for r in ray_outputs[2].itertuples()}
     want = set(oracle_outputs["linked"])
     assert got == want
+    # candidate lists are non-trivial: some mention kept >1 candidate
+    assert any(len(c[-1]) > 1 for c in got)
 
 
 def test_triples_match_oracle(ray_outputs, oracle_outputs):
