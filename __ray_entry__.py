@@ -288,6 +288,18 @@ def q_embedding_pairs_exact(sf_dir: str):
     return embedding_pairs_exact(ds, threshold=0.35)
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Cluster assignment over the exact cosine>=0.35 duplicate-pair graph:
+    distributed min-label propagation (one bucketed exchange + one
+    min-groupby per round), SQL-verified against a recursive CTE — the
+    keeper-selection step real dedup needs beyond pair lists."""
+    from bionext_ray.ops.dedup import (connected_components,
+                                       embedding_pairs_exact)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_pairs_exact(ds, threshold=0.35)
+    return connected_components(pairs)
+
+
 def q_neardup_verified(sf_dir: str):
     from bionext_ray.ops.dedup import minhash_lsh_candidates, verify_jaccard_pairs
     from bionext_ray.ops.relational import estimate_partitions
@@ -701,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": q_events_props_stats,
         "events_last_order": q_events_last_order,
         "kg_stage_counts": q_kg_stage_counts,
+        "neardup_clusters": q_neardup_clusters,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "image_features": q_image_features,
@@ -782,6 +795,26 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[]))
                   >= 0.35
+        """,
+        # recursive CTE mirror of the distributed min-label propagation:
+        # cluster_id = min node id reachable in the pair graph
+        "neardup_clusters": """
+            WITH RECURSIVE base AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+                  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))
+                      >= 0.35
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM base
+                UNION ALL SELECT id_b, id_a FROM base
+            ), reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
         """,
         "quality": """
             SELECT doc_id, n_chars, n_tokens,

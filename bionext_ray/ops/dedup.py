@@ -532,3 +532,112 @@ def verify_jaccard_pairs(documents_ds, candidate_pairs, threshold: float = 0.8,
             .union(texts_ds.map_batches(tag_texts, batch_format="pyarrow"))
             .groupby("__bucket")
             .map_groups(join_b_verify, batch_format="pandas"))
+
+
+# -------------------------------------------------- near-dup cluster labels
+def connected_components(pairs_ds, shuffle_partitions: int | None = None,
+                         max_iters: int = 30):
+    """Cluster assignment over a duplicate-pair graph: each node appearing
+    in any pair gets ``cluster_id`` = the minimum node id reachable from it
+    (what dedup needs to pick ONE keeper per near-dup group, not just
+    pairs).
+
+    Distributed min-label propagation: the directed edge list (each pair
+    both ways) is materialized ONCE; every round is exactly one bucketed
+    hash exchange (each node's current label is merged onto the edges whose
+    source it is, producing a (dst, src_label) message per edge) plus one
+    min-groupby over messages + self labels. Rounds needed = graph diameter
+    — near-dup clusters are shallow, so a handful. Labels only decrease, so
+    the fixpoint test is a tiny ``sum(label)`` aggregate per round (no
+    old-vs-new join). An oracle exists as a recursive SQL CTE
+    (`neardup_clusters` in __ray_entry__).
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    P = max(16, shuffle_partitions or 0)
+
+    def to_directed(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, bb])
+        dst = np.concatenate([bb, a])
+        return pa.table({
+            "__bucket": pa.array(np.abs(src) % P, pa.int64()),
+            "__side": pa.array(np.zeros(len(src), np.int8), pa.int8()),
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "label": pa.nulls(len(src), pa.int64()),
+        })
+
+    directed = pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
+        to_directed, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(ids, pa.int64()),
+                         "label": pa.array(ids, pa.int64())})
+
+    labels = (directed.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__bucket": pa.array(np.abs(node) % P, pa.int64()),
+            "__side": pa.array(np.ones(len(node), np.int8), pa.int8()),
+            "src": pa.array(node, pa.int64()),
+            "dst": pa.nulls(len(node), pa.int64()),
+            "label": b["label"],
+        })
+
+    def propagate(t: pa.Table) -> pa.Table:
+        # arrow in/out so the result unions with the arrow labels dataset
+        g = t.to_pandas()
+        e = g[g["__side"] == 0]
+        l = g[g["__side"] == 1].drop_duplicates("src")
+        m = e[["src", "dst"]].merge(l[["src", "label"]], on="src",
+                                    how="inner")
+        return pa.table({"node": pa.array(m["dst"].to_numpy(np.int64),
+                                          pa.int64()),
+                         "label": pa.array(m["label"].to_numpy(np.int64),
+                                           pa.int64())})
+
+    # every union grows the block count and the sort-shuffle schedules
+    # (input blocks x output blocks) tasks — without re-coalescing, block
+    # counts compound across rounds and the scheduler cost explodes.
+    # repartition() here is metadata-only (no row movement) and keeps each
+    # round's shuffle at a constant P x P.
+    import gc
+
+    prev_sum = None
+    for _ in range(max_iters):
+        messages = (directed.union(labels.map_batches(
+                        tag_labels, batch_format="pyarrow"))
+                    .repartition(P)
+                    .groupby("__bucket")
+                    .map_groups(propagate, batch_format="pyarrow"))
+        labels = (messages.union(labels)
+                  .repartition(P)
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .repartition(max(2, P // 4))
+                  .materialize())
+        # labels only decrease -> unchanged sum == fixpoint
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        # drop the previous round's dataset objects NOW: unreferenced
+        # materialized datasets otherwise pile up on the driver across
+        # rounds and each round's scheduling gets progressively slower
+        gc.collect()
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "cluster_id": b["label"]})
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -296,3 +296,37 @@ def test_range_join_bucket_cost_linear():
     assert n_big == 4 * n_small               # same matches per key
     # quadratic per-key rescan would be ~16x; allow generous headroom
     assert t_big < 8 * max(t_small, 1e-4), (t_small, t_big)
+
+
+def test_connected_components(ray_session):
+    """Min-label propagation must match union-find on a graph with chains,
+    a star, and isolated pairs (chains exercise multi-round convergence)."""
+    import ray.data
+
+    from bionext_ray.ops.dedup import connected_components
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # 6-chain
+             (100, 101), (100, 102), (100, 103),          # star
+             (50, 60),                                    # pair
+             (7, 8), (8, 9), (9, 7)]                      # triangle
+    pairs = pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64()),
+    })
+    out = connected_components(
+        ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["node"], out["cluster_id"]))
+
+    # union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
