@@ -622,6 +622,18 @@ def q_multimodal_frames(sf_dir: str):
     return frames.map_batches(meta_only, batch_format="pyarrow")
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 terms per doc by tf-idf (integer idf): corpus DF shuffle +
+    bucketed term join + grouped top-k, SQL-verified end to end."""
+    import pyarrow.parquet as pq
+    from bionext_ray.ops.relational import estimate_partitions
+    from bionext_ray.ops.textstats import tfidf_top_terms
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, n_docs=n_docs, k=3, shuffle_partitions=sp)
+
+
 def q_image_features(sf_dir: str):
     """REAL image decode: deterministic 24-bit BMPs are synthesized per doc
     (pattern pixel[y,x,c] = (7*doc_id + x + 3*y + 11*c) % 256, dims from
@@ -716,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": q_neardup_clusters,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
     }
@@ -852,6 +865,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        # integer-idf tf-idf: score = tf * ((1000000 * N) // df) — exact
+        # integer math on both sides; ties break (score DESC, term ASC)
+        "tfidf_top_terms": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(COALESCE(text, '')), ' ')) AS w
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, w, COUNT(*) AS tf FROM words
+                WHERE w <> '' GROUP BY doc_id, w
+            ), df AS (
+                SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+                WHERE w <> '' GROUP BY w
+            ), n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT doc_id, term, tf, score FROM (
+                SELECT tf.doc_id, tf.w AS term, tf.tf,
+                       tf.tf * ((1000000 * n.n) // df.df) AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ((1000000 * n.n) // df.df) DESC,
+                                    tf.w ASC) AS rn
+                FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+            ) WHERE rn <= 3
         """,
         # mirrors the synthesized BMP pattern pixel-for-pixel: the engine
         # DECODES real BMP bytes (header parse, padded bottom-up rows); the

@@ -253,3 +253,104 @@ def lang_id_ngram_batch(batch, min_coverage_ppm: int = 120_000):
         "lang_pred": pa.array(preds, pa.string()),
         "coverage_ppm": pa.array(covs, pa.int64()),
     })
+
+
+def tfidf_top_terms(documents_ds, n_docs: int, k: int = 3,
+                    shuffle_partitions: int | None = None):
+    """Top-k terms per document by tf-idf (integer idf variant:
+    idf_milli-ish = (1_000_000 * N) // df, score = tf * idf — deterministic
+    integer math on both the engine and the SQL-oracle side; same ranking
+    monotonicity as tf * log(N/df)).
+
+    Three-phase, all existing primitives:
+      1. per-batch (doc, term, tf) rows — one Arrow split + one pandas
+         C-groupby per batch, empty tokens dropped;
+      2. corpus document frequency — a (term, 1-per-doc) partial per batch
+         (each doc lives in exactly one row, so per-batch counts sum to the
+         true df) + one high-cardinality groupby;
+      3. df joined back onto the tf rows via ONE bucketed hash exchange on
+         the term, score computed vectorized in-bucket, then the
+         grouped-top-k partial/merge keeps k rows per doc.
+    ``n_docs`` is passed in (parquet metadata) so no extra counting pass.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from pandas.util import hash_array
+
+    from .relational import grouped_topk, partial_final_agg
+
+    P = max(16, shuffle_partitions or 0)
+
+    def term_freqs(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        text = pc.coalesce(batch["text"], "")
+        words = pc.split_pattern(pc.utf8_lower(text), " ")
+        lengths = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_pandas()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"doc_id": np.repeat(doc_ids, lengths), "term": flat})
+        d = d[d["term"] != ""]
+        g = (d.groupby(["doc_id", "term"], sort=False).size()
+             .rename("tf").reset_index())
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(g["term"].tolist(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+        })
+
+    tf_rows = documents_ds.map_batches(term_freqs, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        # each (doc, term) appears once -> rows per term = docs-in-batch
+        g = b.group_by(["term"]).aggregate([("doc_id", "count")])
+        return pa.table({"term": g["term"],
+                         "one": g["doc_id_count"].cast(pa.int64())})
+
+    # high-cardinality key: let the partial size track the data
+    df_rows = partial_final_agg(
+        tf_rows.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], [("one", "sum", "df")],
+        shuffle_partitions=shuffle_partitions)
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            import numpy as np
+            terms = b["term"].to_numpy(zero_copy_only=False)
+            bucket = (hash_array(terms.astype(object)) % P).astype(np.int64)
+            n = b.num_rows
+            return pa.table({
+                "__bucket": pa.array(bucket, pa.int64()),
+                "__side": pa.array([side] * n, pa.int8()),
+                "term": b["term"],
+                "doc_id": (b["doc_id"] if side == 0
+                           else pa.nulls(n, pa.int64())),
+                "tf": b["tf"] if side == 0 else pa.nulls(n, pa.int64()),
+                "df": pa.nulls(n, pa.int64()) if side == 0 else b["df"],
+            })
+        return fn
+
+    idf_scale = 1_000_000 * int(n_docs)
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+        g = t.to_pandas()
+        lhs = g[g["__side"] == 0]
+        rhs = g[g["__side"] == 1].drop_duplicates("term")
+        m = lhs[["doc_id", "term", "tf"]].merge(
+            rhs[["term", "df"]], on="term", how="inner")
+        tf = m["tf"].to_numpy(np.int64)
+        df = m["df"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(m["doc_id"].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(m["term"].tolist(), pa.string()),
+            "tf": pa.array(tf, pa.int64()),
+            "score": pa.array(tf * (idf_scale // df), pa.int64()),
+        })
+
+    scored = (tf_rows.map_batches(tag(0), batch_format="pyarrow")
+              .union(df_rows.map_batches(tag(1), batch_format="pyarrow"))
+              .groupby("__bucket")
+              .map_groups(score_bucket, batch_format="pyarrow"))
+    return grouped_topk(scored, ["doc_id"], "score", k=k,
+                        descending=True, tiebreak_cols=["term"],
+                        shuffle_partitions=shuffle_partitions)
