@@ -622,6 +622,16 @@ def q_multimodal_frames(sf_dir: str):
     return frames.map_batches(meta_only, batch_format="pyarrow")
 
 
+def q_distinct_users_kmv(sf_dir: str):
+    """Deterministic KMV distinct-count sketch over events.user_id (k=64):
+    exact below k distinct, integer-arithmetic estimate above — SQL-exact
+    either way (the oracle reproduces the same md5-prefix hashes and
+    estimator)."""
+    from bionext_ray.ops.sketch import kmv_distinct
+    return kmv_distinct(_read(sf_dir, "events", ["user_id"]),
+                        "user_id", k=64)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-3 terms per doc by tf-idf (integer idf): corpus DF shuffle +
     bucketed term join + grouped top-k, SQL-verified end to end."""
@@ -729,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "distinct_users_kmv": q_distinct_users_kmv,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
     }
@@ -865,6 +876,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        # KMV sketch mirror: same md5-prefix 60-bit hashes, same integer
+        # estimator ((k-1) * 2^60 // h_k), HUGEINT to avoid the multiply
+        # overflowing UBIGINT
+        "distinct_users_kmv": """
+            WITH h AS (
+                SELECT DISTINCT CAST(CONCAT('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                    AS hv
+                FROM events
+            ), ranked AS (
+                SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM h
+            ), agg AS (
+                SELECT COUNT(*) AS d,
+                       MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+                FROM ranked WHERE rn <= 64
+            )
+            SELECT CASE WHEN d < 64 THEN CAST(d AS BIGINT)
+                        ELSE CAST((CAST(63 AS HUGEINT) *
+                                   1152921504606846976) // hk AS BIGINT)
+                   END AS n_distinct_est,
+                   d < 64 AS is_exact
+            FROM agg
         """,
         # integer-idf tf-idf: score = tf * ((1000000 * N) // df) — exact
         # integer math on both sides; ties break (score DESC, term ASC)

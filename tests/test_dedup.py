@@ -330,3 +330,24 @@ def test_connected_components(ray_session):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_kmv_distinct_sketch(ray_session):
+    """Deterministic KMV cardinality sketch: exact below k, bounded-error
+    estimate above k, identical across batching layouts."""
+    import ray.data
+
+    from bionext_ray.ops.sketch import kmv_distinct
+    small = pa.table({"v": pa.array([f"u{i % 30}" for i in range(500)])})
+    out = kmv_distinct(ray.data.from_arrow(small), "v", k=64).to_pylist()[0]
+    assert out == {"n_distinct_est": 30, "is_exact": True}
+
+    big = pa.table({"v": pa.array([f"user-{i}" for i in range(5000)])})
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(big).repartition(blocks)
+        est = kmv_distinct(ds, "v", k=256).to_pylist()[0]
+        assert not est["is_exact"]
+        assert abs(est["n_distinct_est"] - 5000) / 5000 < 0.15
+        if blocks == 1:
+            first = est["n_distinct_est"]
+    assert est["n_distinct_est"] == first     # layout-independent
