@@ -622,6 +622,24 @@ def q_multimodal_frames(sf_dir: str):
     return frames.map_batches(meta_only, batch_format="pyarrow")
 
 
+def q_events_quantiles(sf_dir: str):
+    """Exact p50/p95 of value_milli per event type (discrete quantiles,
+    DuckDB quantile_disc semantics; one bucketed exchange, per-key work
+    vectorized inside buckets)."""
+    from bionext_ray.ops.relational import grouped_quantiles
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vmilli = [math.floor(v * 1000) for v in batch["value"].to_pylist()]
+        return pa.table({
+            "event_type": batch["event_type"],
+            "value_milli": pa.array(vmilli, pa.int64()),
+        })
+
+    return grouped_quantiles(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["event_type"], "value_milli", qs=(0.5, 0.95))
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """Deterministic KMV distinct-count sketch over events.user_id (k=64):
     exact below k distinct, integer-arithmetic estimate above — SQL-exact
@@ -740,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_top_terms": q_tfidf_top_terms,
         "distinct_users_kmv": q_distinct_users_kmv,
+        "events_quantiles": q_events_quantiles,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
     }
@@ -876,6 +895,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   quantile_disc(CAST(FLOOR(value * 1000) AS BIGINT), 0.5)
+                       AS p50,
+                   quantile_disc(CAST(FLOOR(value * 1000) AS BIGINT), 0.95)
+                       AS p95
+            FROM events GROUP BY event_type
         """,
         # KMV sketch mirror: same md5-prefix 60-bit hashes, same integer
         # estimator ((k-1) * 2^60 // h_k), HUGEINT to avoid the multiply

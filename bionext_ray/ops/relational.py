@@ -438,3 +438,51 @@ def sessionize(events_ds, key_col: str, ts_col: str, gap_s: int,
     return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def grouped_quantiles(ds, key_cols: list[str], col: str,
+                      qs: tuple = (0.5, 0.95),
+                      shuffle_partitions: int | None = None):
+    """Exact discrete quantiles per group (DuckDB quantile_disc semantics:
+    the value at 0-based index max(0, ceil(q*n)-1) of the group's sorted
+    values). ONE bucketed exchange on hash(keys) % P; inside each bucket
+    all keys are handled in one vectorized pass — sort, run-length group
+    boundaries, one fancy-index per quantile — never per-key Python.
+
+    Exact quantiles inherently co-locate each group's values (any exact
+    method must see the whole group); for sketch-sized state use a KMV/
+    t-digest style operator instead. Output columns: keys + p{q*100}.
+    """
+    import numpy as np
+    import pandas as pd
+    from pandas.util import hash_array
+
+    P = max(16, shuffle_partitions or 0)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in key_cols:
+            h = h * np.uint64(1_000_003) + hash_array(
+                b[k].to_numpy().astype(object))
+        return b.assign(__bucket=(h % P).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket")
+             .sort_values(key_cols + [col], kind="mergesort")
+             .reset_index(drop=True))
+        change = (g[key_cols] != g[key_cols].shift()).any(axis=1).to_numpy()
+        change[0] = True
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(g)]
+        ns = ends - starts
+        out = {k: g[k].to_numpy()[starts] for k in key_cols}
+        vals = g[col].to_numpy()
+        for q in qs:
+            idx = starts + np.maximum(
+                0, np.ceil(q * ns).astype(np.int64) - 1)
+            out[f"p{round(q * 100)}"] = vals[idx]
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
