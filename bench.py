@@ -49,8 +49,10 @@ def _run_bench() -> dict:
         "kg_triples", "dedup_exact", "minhash_candidates", "simhash",
         "simsearch_topk", "pricing_summary", "top_customers",
         "orders_by_nation", "events_hourly", "events_sessionize",
-        "events_last_order", "events_followups", "top_docs_per_lang",
-        "token_count", "lang_id", "fingerprint", "sample_documents",
+        "events_last_order", "events_followups", "events_quantiles",
+        "top_docs_per_lang", "token_count", "lang_id", "fingerprint",
+        "sample_documents", "tfidf_top_terms", "image_features",
+        "distinct_users_kmv",
     ]
 
     per_query = {}

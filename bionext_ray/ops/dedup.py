@@ -318,10 +318,10 @@ def embedding_neardup(embeddings_ds, threshold: float = 0.95,
     at the target scale."""
     import pandas as pd
 
-    from .simsearch import _hyperplanes, lsh_signature
+    from .simsearch import _batch_matrix, _hyperplanes, lsh_signature
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        M = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        M = _batch_matrix(batch, vec_col)
         if M.shape[0] == 0:
             return pa.table({id_col: batch[id_col],
                              "bucket": pa.array([], pa.int64()),
@@ -377,8 +377,9 @@ def embedding_pairs_exact(embeddings_ds, threshold: float = 0.95,
     mat_t = pa.concat_tables(
         ray.get(embeddings_ds.select_columns([id_col, vec_col])
                 .to_arrow_refs()))
+    from .simsearch import _batch_matrix
     ids_all = mat_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    M = np.array(mat_t[vec_col].to_pylist(), dtype=np.float64)
+    M = _batch_matrix(mat_t, vec_col)
     norms = np.linalg.norm(M, axis=1)
     norms[norms == 0] = 1.0
     Mn = M / norms[:, None]
@@ -386,8 +387,9 @@ def embedding_pairs_exact(embeddings_ds, threshold: float = 0.95,
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_all_, Mn_ = ray.get(ref)
+        from .simsearch import _batch_matrix
         ids_b = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        B = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        B = _batch_matrix(batch, vec_col)
         if B.shape[0] == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})

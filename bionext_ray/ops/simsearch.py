@@ -22,7 +22,22 @@ import ray
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
-    return np.array(batch[col].to_pylist(), dtype=np.float64)
+    """(n, dim) float64 matrix from a list<float> column — zero-copy
+    flatten + reshape when the lists are non-null and equal-length (the
+    embedding-table contract), falling back to the Python path otherwise."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count == 0:
+        import pyarrow.compute as pc
+        lens = pc.list_value_length(arr).to_numpy()
+        if lens.min() == lens.max():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(n, -1)
+    return np.array(arr.to_pylist(), dtype=np.float64)
 
 
 def _cosine_scores(M: np.ndarray, q: np.ndarray) -> np.ndarray:
