@@ -1,0 +1,75 @@
+"""Property-based checks (hypothesis): the three implementations of
+mention detection — the direct fast path (single-window identity +
+decoder-quirk emulation), the full BIO encode/decode walk, and the
+ids-only backend scan — must agree on ARBITRARY corpora, including
+adjacent entities, punctuation surfaces, multi-window docs and
+whitespace edge cases. Derandomized (CI-stable)."""
+
+from hypothesis import given, settings, strategies as st
+
+from bionext_ray.functions.ner import tag_document, tag_documents_with_backend
+from bionext_ray.gazetteer import GazetteerMatcher
+from bionext_ray.kb import default_kb
+from bionext_ray.models import SurrogateTaggerBackend
+from bionext_ray.rangedict import merge_overlapping
+from bionext_ray.windows import (bio_labels, decode_doc, make_windows,
+                                 window_annotations)
+
+KB = default_kb()
+MATCHER = GazetteerMatcher(KB.gazetteer)
+BACKEND = SurrogateTaggerBackend(KB.gazetteer)
+
+# vocabulary: gazetteer surfaces (incl. multi-token + punctuated), filler,
+# near-miss words, punctuation runs
+TOKENS = st.sampled_from(
+    list(KB.gazetteer)
+    + ["filler", "alpha", "beta", "sparkle", "hashes", "slowly", "Mouse",
+       "Rat", "c.76A/G", "rs4242", "SPARK", ".", ",", ";", "-", "(", ")"])
+
+
+@st.composite
+def documents(draw):
+    n = draw(st.integers(min_value=0, max_value=120))
+    words = [draw(TOKENS) for _ in range(n)]
+    # occasionally double-space or leading/trailing space
+    sep = draw(st.sampled_from([" ", " ", " ", "  "]))
+    return sep.join(words)
+
+
+def _full_bio_path(text: str) -> list[dict]:
+    """The always-full-decode reference path (no fast-path shortcut)."""
+    from bionext_ray.functions.ner import spans_to_mentions
+    windows = make_windows(text)
+    if not windows:
+        return []
+    matches = merge_overlapping(MATCHER.find_mentions(text), text)
+    label_seqs = [bio_labels(w["offsets"],
+                             window_annotations(matches, w["view_offset"]))
+                  for w in windows]
+    spans = decode_doc(label_seqs, [w["offsets"] for w in windows], text)
+    return spans_to_mentions(text, spans)
+
+
+@settings(max_examples=120, deadline=None, derandomize=True)
+@given(documents())
+def test_fast_path_equals_full_bio_roundtrip(text):
+    assert tag_document(text, MATCHER) == _full_bio_path(text)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(st.lists(documents(), min_size=1, max_size=4))
+def test_ids_backend_equals_direct_path(texts):
+    direct = [tag_document(t, MATCHER) for t in texts]
+    via_backend = tag_documents_with_backend(texts, BACKEND)
+    assert direct == via_backend
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(documents())
+def test_long_docs_multiwindow_consistency(text):
+    """Stretch to guaranteed multi-window length by repetition: window
+    stitching must behave like one long single pass (set equality over
+    spans; classes can legitimately differ only through the documented
+    adjacent-span quirk, which both paths share)."""
+    long_text = (text + " ") * 6 + text
+    assert tag_document(long_text, MATCHER) == _full_bio_path(long_text)
