@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--llm-api-module", default=None,
                    help="GenericAPICall plugin ('Module' or 'pkg.mod:Cls')")
     p.add_argument("--llm-api-address", default=None)
+    p.add_argument("--model-backend", choices=["direct", "adapter"],
+                   default="direct",
+                   help="'direct' = in-stage surrogate fast paths; "
+                        "'adapter' = the model-backend protocol "
+                        "(batched input_ids/attention_mask per forward — "
+                        "the path a real transformer uses; see "
+                        "bionext_ray.models). Both produce identical "
+                        "output (pinned by the parity suite).")
     return p
 
 
@@ -74,6 +82,12 @@ def main(argv=None) -> int:
         kb = default_kb()
         ncpu = args.concurrency or int(ray.cluster_resources().get("CPU", 4))
         conc = (1, max(2, ncpu))
+        tag_backend = ext_backend = None
+        if args.model_backend == "adapter":
+            from .models import (SurrogateExtractorBackend,
+                                 SurrogateTaggerBackend)
+            tag_backend = SurrogateTaggerBackend(kb.gazetteer)
+            ext_backend = SurrogateExtractorBackend()
         llm_spec = None
         if args.llm_api_module:
             llm_spec = {"module": args.llm_api_module,
@@ -93,7 +107,8 @@ def main(argv=None) -> int:
             ds = runner.stage(
                 "tagged", lambda: tagger_stage(tagged, kb.gazetteer,
                                                concurrency=conc,
-                                               batch_size=args.batch_size))
+                                               batch_size=args.batch_size,
+                                               backend=tag_backend))
         if args.linker:
             to_link = ds
             ds = runner.stage(
@@ -104,7 +119,8 @@ def main(argv=None) -> int:
             linked = ds
             triples = runner.stage(
                 "triples", lambda: extractor_stage(linked, concurrency=conc,
-                                                   batch_size=args.batch_size))
+                                                   batch_size=args.batch_size,
+                                                   backend=ext_backend))
             from .stages.canonicalize import canonicalize_stage, materialize_graph
             canonical = runner.stage(
                 "canonical", lambda: canonicalize_stage(triples))
