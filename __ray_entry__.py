@@ -710,6 +710,39 @@ def q_audio_features(sf_dir: str):
         "doc_id", "n_bytes", "sample_rate", "n_samples", "duration_ms"])
 
 
+def q_video_frames(sf_dir: str):
+    """REAL video demux: per doc a BMPS container (magic + length-prefixed
+    4x4 BMP frames, 2 + doc_id%4 frames) is synthesized, then the demuxer
+    walks the frame sequence keeping every 2nd frame — frame counts and
+    byte sizes are SQL-oracle-checkable."""
+    from bionext_ray.ops.multimodal import (encode_bmp, encode_bmp_stream,
+                                            sample_video_frames)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch["doc_id"].to_pylist():
+            frames = [encode_bmp(np.full((4, 4, 3), (d + i) % 256, np.uint8))
+                      for i in range(2 + d % 4)]
+            payloads.append(encode_bmp_stream(frames))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    frames = sample_video_frames(
+        ds.map_batches(to_video, batch_format="pyarrow"),
+        every_n=2, fake=False, batch_size=64)
+
+    def meta_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "frame_idx": b["frame_idx"],
+            "frame_bytes": pc.cast(pc.binary_length(b["frame"]), pa.int64()),
+        })
+
+    return frames.map_batches(meta_only, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -761,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": q_events_quantiles,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
@@ -977,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN c = 2 THEN CAST(1000*s AS BIGINT)
                        // (ww*hh) END) AS mean_b_milli
             FROM px GROUP BY doc_id, ww, hh
+        """,
+        # BMPS demux mirror: kept frames = ceil(n_frames / 2) with
+        # n_frames = 2 + doc_id % 4; every 4x4 24-bit BMP frame is
+        # 54 + 12*4 = 102 bytes
+        "video_frames": """
+            SELECT doc_id, x.range AS frame_idx, 102 AS frame_bytes
+            FROM documents, range(3) x
+            WHERE x.range < ((2 + doc_id % 4) + 1) // 2
         """,
         # mirrors the synthesized PCM WAV: 44 header bytes + 2 bytes/sample,
         # integer-truncated duration at 16 kHz

@@ -6,8 +6,9 @@ classic header+payload container formats — 24-bit uncompressed BMP
 (``decode_wav``/``encode_wav``) — so the feature-extract and resize stages
 exercise genuine decode work (header parse, padded-row/chunk walk, pixel
 math) with zero external libraries. Codec-library formats (JPEG/MP3/MP4)
-would slot into the same kernels; video frame sampling stays a stub behind
-the deterministic fake because container demuxing genuinely needs one.
+would slot into the same kernels. Video is a real demuxer too: the BMPS
+container (magic + length-prefixed BMP frames, MJPEG-style) feeds the
+frame-sampling fan-out stage.
 Everything Ray-side is real and tested: schema, actor-pool stage, small
 batch sizes for large binary rows, pyarrow-only batch format (binary
 columns must never round-trip through pandas object dtype).
@@ -235,10 +236,38 @@ def resize_images(ds, width: int, height: int, payload_col: str = "payload",
         concurrency=concurrency)
 
 
+def encode_bmp_stream(frames: list[bytes]) -> bytes:
+    """MJPEG-style toy video container: magic + frame count + a sequence of
+    length-prefixed BMP frames. Real enough to demux (magic check, bounds
+    checks, frame walk) with zero external libraries; a codec container
+    (MP4/AVI) would slot into the same sampler."""
+    out = [b"BMPS", struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    raise NotImplementedError(
-        "video frame sampling requires a video library not present in this "
-        "environment; use FrameSampleStage(fake=True) for plumbing tests")
+    """Real demux of the BMPS container: walk the length-prefixed frame
+    sequence, keep every ``every_n``-th frame (always including frame 0),
+    validating each kept frame's BMP magic."""
+    if len(payload) < 8 or payload[:4] != b"BMPS":
+        raise ValueError("not a BMPS video payload")
+    n_frames = struct.unpack_from("<I", payload, 4)[0]
+    pos, idx, kept = 8, 0, []
+    while pos + 4 <= len(payload) and idx < n_frames:
+        size = struct.unpack_from("<I", payload, pos)[0]
+        frame = payload[pos + 4:pos + 4 + size]
+        if len(frame) != size:
+            raise ValueError(f"truncated frame {idx}")
+        if idx % max(1, every_n) == 0:
+            if frame[:2] != b"BM":
+                raise ValueError(f"frame {idx} is not a BMP")
+            kept.append(frame)
+        pos += 4 + size
+        idx += 1
+    return kept
 
 
 def _fake_frames(payload: bytes | None, every_n: int) -> list[bytes]:

@@ -34,9 +34,11 @@ class KGFusedStage:
         backends = backends or {}
         self.tag = TaggerStage(kb.gazetteer, transforms,
                                backend=backends.get("tagger"))
-        self.link = LinkerStage(kb, llm_spec)
+        self.link = LinkerStage(kb, llm_spec,
+                                embedder=backends.get("embedder"))
         self.extract = ExtractorStage(backend=backends.get("extractor"))
-        self._chain = bool(backends)
+        self._chain = bool(backends.get("tagger")
+                           or backends.get("extractor"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._chain:     # model backends: use the stage chain unchanged

@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray
 
 from ..constants import MIN_EMB_THRESHOLD
-from ..embedding import embed_batch, embed_text
+from ..embedding import embed_batch
 from ..functions.linking import EmbeddingIndex, link_document
 from ..kb import KnowledgeBase
 from .tagger import MENTION_TYPE
@@ -32,13 +32,18 @@ LINKED_MENTION_TYPE = pa.struct(
 
 
 class LinkerStage:
-    def __init__(self, kb, llm_spec: dict | None = None):
+    def __init__(self, kb, llm_spec: dict | None = None, embedder=None):
+        """``embedder``: optional batch encoder ``list[str] -> (n, dim)
+        row-normalized matrix`` replacing the hashed-trigram surrogate —
+        the SapBERT shape (see bionext_ray.models.TorchEmbedderBackend).
+        The KB shard matrices must come from the same encoder."""
         if isinstance(kb, ray.ObjectRef):
             kb = ray.get(kb)
         self.kb: KnowledgeBase = kb
-        self.chem_idx = EmbeddingIndex(kb.emb.get("mesh", []), MIN_EMB_THRESHOLD, embed_batch)
-        self.dis_idx = EmbeddingIndex(kb.emb.get("ctd", []), MIN_EMB_THRESHOLD, embed_batch)
-        self.cell_idx = EmbeddingIndex(kb.emb.get("cellosaurus", []), MIN_EMB_THRESHOLD, embed_batch)
+        self.embed = embedder if embedder is not None else embed_batch
+        self.chem_idx = EmbeddingIndex(kb.emb.get("mesh", []), MIN_EMB_THRESHOLD, self.embed)
+        self.dis_idx = EmbeddingIndex(kb.emb.get("ctd", []), MIN_EMB_THRESHOLD, self.embed)
+        self.cell_idx = EmbeddingIndex(kb.emb.get("cellosaurus", []), MIN_EMB_THRESHOLD, self.embed)
         self._gene_cache: dict[tuple[str, str], str] = {}
         # optional few-shot LLM tier (T4): plugin + predictor instantiated
         # ONCE PER ACTOR — network clients/rate limiters are actor-local
@@ -58,7 +63,7 @@ class LinkerStage:
         key = (text.lower(), tax)
         if key not in self._gene_cache:
             ids, M = self.kb.gene_emb[tax]
-            v = embed_text(text.lower())
+            v = self.embed([text.lower()])[0]
             scores = M @ v
             i = int(scores.argmax()) if len(scores) else -1
             code = ids[i] if i >= 0 and scores[i] > MIN_EMB_THRESHOLD else "-"
@@ -114,8 +119,9 @@ class LinkerStage:
 
 
 def linker_stage(tagged_ds, kb, concurrency=4, batch_size: int = 256,
-                 num_cpus: float = 1, llm_spec: dict | None = None):
+                 num_cpus: float = 1, llm_spec: dict | None = None,
+                 embedder=None):
     return tagged_ds.map_batches(
-        LinkerStage, fn_constructor_args=(kb, llm_spec),
+        LinkerStage, fn_constructor_args=(kb, llm_spec, embedder),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus)

@@ -235,3 +235,22 @@ def test_torch_tagger_adapter():
     out = backend(np.zeros((2, 8), dtype=np.int64),
                   np.ones((2, 8), dtype=np.int64))
     assert out.shape == (2, 8) and (out == 0).all()
+
+
+def test_linker_pluggable_embedder(kb, docs_batch):
+    """A custom batch encoder drops into LinkerStage (SapBERT shape); with
+    the surrogate encoder injected explicitly the output is identical to
+    the default, and the injected callable is actually used."""
+    calls = []
+    from bionext_ray.embedding import embed_batch
+
+    def counting_embedder(texts):
+        calls.append(len(texts))
+        return embed_batch(texts)
+
+    tagged = TaggerStage(kb.gazetteer)(docs_batch)
+    default = LinkerStage(kb)(tagged)["mentions"].to_pylist()
+    injected = LinkerStage(kb, embedder=counting_embedder)(
+        tagged)["mentions"].to_pylist()
+    assert default == injected
+    assert calls and sum(calls) > 0

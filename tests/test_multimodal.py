@@ -16,15 +16,28 @@ def _payload_table(n=6):
     })
 
 
-def test_decoders_reject_junk_and_video_stub_raises():
+def test_decoders_reject_junk():
     from bionext_ray.ops.multimodal import (decode_audio, decode_image,
                                             resize_image, sample_frames)
     for fn, args in [(decode_image, (b"x",)), (decode_audio, (b"x",)),
-                     (resize_image, (b"x", 4, 4))]:
+                     (resize_image, (b"x", 4, 4)),
+                     (sample_frames, (b"xxxxxxxxxx", 2))]:
         with pytest.raises(ValueError):
             fn(*args)
-    with pytest.raises(NotImplementedError):
-        sample_frames(b"x", 2)
+
+
+def test_bmps_video_demux_roundtrip():
+    import numpy as np
+
+    from bionext_ray.ops.multimodal import (decode_bmp, encode_bmp,
+                                            encode_bmp_stream, sample_frames)
+    frames = [encode_bmp(np.full((4, 4, 3), 10 * i, np.uint8))
+              for i in range(5)]
+    stream = encode_bmp_stream(frames)
+    kept = sample_frames(stream, every_n=2)       # frames 0, 2, 4
+    assert kept == [frames[0], frames[2], frames[4]]
+    assert decode_bmp(kept[1])[0, 0, 0] == 20
+    assert sample_frames(stream, every_n=1) == frames
 
 
 def test_bmp_codec_roundtrip_and_features():
