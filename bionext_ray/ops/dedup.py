@@ -6,8 +6,12 @@
   pairs -> Jaccard verify. The per-batch signature step is vectorized numpy;
   only (band, bucket) rows cross the shuffle.
 - simhash: 64-bit simhash per doc + bucket by high bits for near-dup grouping.
-- ngram_jaccard_pairs: exact n-gram Jaccard over LSH candidates (verification
-  step, doc-pair local).
+- verify_jaccard_pairs: exact n-gram Jaccard over LSH candidates, fully
+  distributed (bucketed text joins, each doc shingled once per bucket).
+- embedding_neardup / embedding_pairs_exact: cosine near-dup (LSH scale path
+  + broadcast-GEMM verification baseline).
+- connected_components: cluster ids over the pair graph (min-label
+  propagation, one bucketed exchange + min-groupby per round).
 
 All hashing is keyed blake2b/md5 (process-independent; never Python hash()).
 """
