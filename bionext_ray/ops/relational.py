@@ -106,18 +106,34 @@ def partial_final_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
 
 def estimate_partitions(paths, target_bytes: int = 64 * 1024 * 1024,
                         lo: int = 1, hi: int = 1_000_000) -> int:
-    """Scale-aware shuffle-partition count from on-disk input size: one
-    partition per ~target_bytes of input. Cheap (filesystem metadata only)
-    and correct from kilobytes to 100 TB."""
+    """Scale-aware shuffle-partition count from input size: one partition
+    per ~target_bytes of IN-MEMORY data. Cheap (file/parquet metadata only)
+    and correct from kilobytes to 100 TB.
+
+    Parquet files report their UNCOMPRESSED row-group size — text columns
+    compress 5-10x, and sizing shuffles from compressed bytes was observed
+    to collapse a 400k-page canonicalization to ONE final-merge task."""
     import os
+
+    def file_bytes(path: str) -> int:
+        if path.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as pq
+                md = pq.ParquetFile(path).metadata
+                return sum(md.row_group(i).total_byte_size
+                           for i in range(md.num_row_groups))
+            except Exception:
+                pass
+        return os.path.getsize(path)
+
     total = 0
     for p in ([paths] if isinstance(paths, str) else paths):
         if os.path.isdir(p):
             for root, _, files in os.walk(p):
-                total += sum(os.path.getsize(os.path.join(root, f))
+                total += sum(file_bytes(os.path.join(root, f))
                              for f in files)
         elif os.path.exists(p):
-            total += os.path.getsize(p)
+            total += file_bytes(p)
     return max(lo, min(hi, (total + target_bytes - 1) // target_bytes))
 
 
