@@ -640,6 +640,28 @@ def q_events_quantiles(sf_dir: str):
                              ["event_type"], "value_milli", qs=(0.5, 0.95))
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per language, chosen by
+    md5-rank (stable across processes, machines and parallelism — the same
+    docs are picked at any cluster size). Composed as hash column +
+    grouped_topk ascending; SQL-mirrored with ROW_NUMBER over the same
+    md5 ordering."""
+    import hashlib
+
+    from bionext_ray.ops.relational import grouped_topk
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(f"{d}-s7".encode()).hexdigest()[:16]
+              for d in batch["doc_id"].to_pylist()]
+        return batch.append_column("rank_hash", pa.array(hs, pa.string()))
+
+    top = grouped_topk(docs.map_batches(add_rank, batch_format="pyarrow"),
+                       ["lang"], "rank_hash", k=5, descending=False,
+                       tiebreak_cols=["doc_id"])
+    return top.select_columns(["lang", "doc_id"])
+
+
 def q_distinct_users_kmv(sf_dir: str):
     """Deterministic KMV distinct-count sketch over events.user_id (k=64):
     exact below k distinct, integer-arithmetic estimate above — SQL-exact
@@ -792,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "distinct_users_kmv": q_distinct_users_kmv,
         "events_quantiles": q_events_quantiles,
+        "stratified_sample": q_stratified_sample,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
@@ -929,6 +952,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                               || '-s7'), 1, 16) ASC,
+                                    doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 5
         """,
         "events_quantiles": """
             SELECT event_type,
