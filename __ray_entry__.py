@@ -57,21 +57,15 @@ def _kg_stages(sf_dir: str):
     from bionext_ray.ops.relational import estimate_partitions
     from bionext_ray.pipeline import kg_stage_datasets, pages_from_documents
     sp = estimate_partitions(f"{sf_dir}/documents.parquet")
-    # actor pools autoscale to the cluster: (1, #CPUs) per stage so adding
-    # CPUs adds actors instead of queueing behind a fixed-size pool
+    # actor pools autoscale to the cluster (shared sizing rule in
+    # ops.relational.actor_pool_size: min 1 — chained pools with min>1 can
+    # pre-claim every CPU and starve the upstream read, observed deadlock —
+    # max just below the CPU count so read tasks keep slots)
+    from bionext_ray.ops.relational import actor_pool_size
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    # pool capped BELOW the CPU count: upstream read tasks need slots, and
-    # a pool equal to num_cpus starves them (deadlock); min actors > 1
-    # skips part of the autoscale ramp on short runs
-    # min actors MUST be 1: kg_stage_datasets chains tagger+linker actor
-    # pools for the per-stage views, and k pools x min actors pre-created
-    # before any input can hold every CPU and starve the read (deadlock
-    # observed at the 4-CPU test fixture with min=2)
-    pool_max = max(2, ncpu - max(1, ncpu // 8))
-    pool_min = 1
     return kg_stage_datasets(
         pages_from_documents(sf_dir, num_blocks=max(2 * ncpu, sp)),
-        concurrency=(pool_min, pool_max),
+        concurrency=actor_pool_size(),
         batch_size=256, shuffle_partitions=sp)
 
 
@@ -536,9 +530,10 @@ def q_kg_stage_counts(sf_dir: str):
     from bionext_ray.stages.linker import linker_stage
     from bionext_ray.stages.tagger import explode_mentions, tagger_stage
 
+    from bionext_ray.ops.relational import actor_pool_size
     sp = estimate_partitions(f"{sf_dir}/documents.parquet")
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    pool = (1, max(2, ncpu - max(1, ncpu // 8)))
+    pool = actor_pool_size()
     kb = default_kb()
     kb_ref = _ray.put(kb)
     docs = extract_stage(

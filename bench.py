@@ -129,7 +129,13 @@ def _run_scaling_pipeline() -> dict:
     pages_dir = os.environ.get(
         "BENCH_PAGES_DIR",
         f"/tmp/bench_pages_sf{os.path.basename(sf_dir)}_x{factor}")
-    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+    # completion sentinel (outside the dir — read_parquet must only see
+    # parquet files): a partially-written corpus from a crashed synthesis
+    # must never be silently reused as if complete
+    sentinel = pages_dir.rstrip("/") + ".complete"
+    if not os.path.isfile(sentinel):
+        import shutil
+        shutil.rmtree(pages_dir, ignore_errors=True)
         base = pq.read_table(f"{sf_dir}/documents.parquet",
                              columns=["doc_id", "text", "lang"])
         n = base.num_rows
@@ -147,13 +153,16 @@ def _run_scaling_pipeline() -> dict:
         # distributed derive + write (one file per block, resumable shape)
         pages_from_documents(tmp, num_blocks=64).write_parquet(
             pages_dir, row_group_size=2048)
+        with open(sentinel, "w") as f:
+            f.write("ok")
 
     ncpu_avail = int(ray.cluster_resources().get("CPU", num_cpus))
-    from bionext_ray.ops.relational import estimate_partitions
+    from bionext_ray.ops.relational import (actor_pool_size,
+                                            estimate_partitions)
     sp = estimate_partitions(pages_dir)
-    # fixed-width pool sized below the CPU count (read tasks need slots;
-    # a pool equal to num_cpus starves the upstream read and deadlocks)
-    pool = max(2, ncpu_avail - max(1, ncpu_avail // 8))
+    # fixed-width pool at the shared sizing rule's max (read tasks need
+    # slots; a pool equal to num_cpus starves the upstream read)
+    pool = actor_pool_size()[1]
     pages = ray.data.read_parquet(
         pages_dir, override_num_blocks=max(4 * ncpu_avail, sp))
 

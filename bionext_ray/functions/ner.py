@@ -52,7 +52,17 @@ def tag_document(text: str, matcher: GazetteerMatcher) -> list[dict]:
     if n_tokens == 0:
         return []
     matches = merge_overlapping(matcher.find_mentions(text), text)
-    if n_tokens <= CENTER_TOKENS:           # exactly one window
+    # Token-alignment guard: the regex word boundary ([a-z0-9] lookarounds)
+    # and the tokenizer's token class ([A-Za-z0-9_]) differ in exactly one
+    # character — '_'. A match touching an underscore is NOT token-aligned
+    # (the underscore glues it into a longer token), the BIO labeler drops
+    # it, and the fast-path identity would not hold — so fall through to
+    # the full windows path for such (rare) documents.
+    aligned = all(
+        (m["start_span"] == 0 or text[m["start_span"] - 1] != "_")
+        and (m["end_span"] >= len(text) or text[m["end_span"]] != "_")
+        for m in matches)
+    if aligned and n_tokens <= CENTER_TOKENS:   # exactly one window
         # reference-decoder quirk, reproduced faithfully: a B label flushes
         # the previous span using the ALREADY-UPDATED current class
         # (decoder.py:33-38), so a span token-adjacent to the next span

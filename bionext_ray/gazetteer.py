@@ -19,12 +19,15 @@ class GazetteerMatcher:
         self.gazetteer = dict(gazetteer)
         surfaces = sorted(self.gazetteer, key=len, reverse=True)
         alts = "|".join(re.escape(s) for s in surfaces)
-        # IGNORECASE instead of text.lower(): identical matches (the
-        # lookaround classes become case-insensitive too, which is exactly
-        # the lowered-text behavior) without allocating a full lowered copy
-        # of every document
+        # IGNORECASE|ASCII instead of text.lower(): identical matches for
+        # ASCII surfaces without allocating a lowered copy of every
+        # document. ASCII restricts case folding to ASCII letters — without
+        # it, Unicode folding lets e.g. U+017F LONG S match 's' and the
+        # dict lookup below would KeyError (and the old lowered-text
+        # variant was itself unsafe: str.lower() can CHANGE STRING LENGTH
+        # for some codepoints, silently shifting every span).
         self._re = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])",
-                              re.IGNORECASE)
+                              re.IGNORECASE | re.ASCII)
 
     def find_mentions(self, text: str) -> list[dict]:
         """All non-overlapping matches as annotation dicts with absolute char

@@ -613,6 +613,43 @@ def connected_components(pairs_ds, shuffle_partitions: int | None = None,
                          "label": pa.array(m["label"].to_numpy(np.int64),
                                            pa.int64())})
 
+    # pointer-jumping compression: label[n] <- label[label[n]]. Labels are
+    # always node ids of this graph, so the label self-join is total; each
+    # compression round halves label-chain depth, making propagate+compress
+    # converge in O(log diameter) rounds — plain one-hop propagation needs
+    # O(diameter) rounds and would silently truncate long chain components
+    # at the iteration cap.
+    def tag_query(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__bucket": pa.array(np.abs(lab) % P, pa.int64()),
+            "__side": pa.array(np.zeros(len(lab), np.int8), pa.int8()),
+            "__key": pa.array(lab, pa.int64()),
+            "node": b["node"],
+            "label": pa.nulls(len(lab), pa.int64()),
+        })
+
+    def tag_target(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__bucket": pa.array(np.abs(node) % P, pa.int64()),
+            "__side": pa.array(np.ones(len(node), np.int8), pa.int8()),
+            "__key": pa.array(node, pa.int64()),
+            "node": pa.nulls(len(node), pa.int64()),
+            "label": b["label"],
+        })
+
+    def compress(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        q = g[g["__side"] == 0]
+        tgt = g[g["__side"] == 1].drop_duplicates("__key")
+        m = q[["__key", "node"]].merge(
+            tgt[["__key", "label"]], on="__key", how="inner")
+        return pa.table({"node": pa.array(m["node"].to_numpy(np.int64),
+                                          pa.int64()),
+                         "label": pa.array(m["label"].to_numpy(np.int64),
+                                           pa.int64())})
+
     # every union grows the block count and the sort-shuffle schedules
     # (input blocks x output blocks) tasks — without re-coalescing, block
     # counts compound across rounds and the scheduler cost explodes.
@@ -621,6 +658,7 @@ def connected_components(pairs_ds, shuffle_partitions: int | None = None,
     import gc
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         messages = (directed.union(labels.map_batches(
                         tag_labels, batch_format="pyarrow"))
@@ -633,6 +671,14 @@ def connected_components(pairs_ds, shuffle_partitions: int | None = None,
                   .aggregate(Min("label", alias_name="label"))
                   .repartition(max(2, P // 4))
                   .materialize())
+        labels = (labels.map_batches(tag_query, batch_format="pyarrow")
+                  .union(labels.map_batches(tag_target,
+                                            batch_format="pyarrow"))
+                  .repartition(P)
+                  .groupby("__bucket")
+                  .map_groups(compress, batch_format="pyarrow")
+                  .repartition(max(2, P // 4))
+                  .materialize())
         # labels only decrease -> unchanged sum == fixpoint
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         # drop the previous round's dataset objects NOW: unreferenced
@@ -640,8 +686,15 @@ def connected_components(pairs_ds, shuffle_partitions: int | None = None,
         # rounds and each round's scheduling gets progressively slower
         gc.collect()
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # wrong cluster ids are worse than no cluster ids: with pointer
+        # jumping, max_iters=default covers diameters up to ~2^max_iters,
+        # so hitting the cap means something is broken — fail loud
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds")
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"],

@@ -102,6 +102,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload,
                                                              pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(
+                f"truncated {cid!r} chunk: declared {size}, got {len(body)}")
         if cid == b"fmt ":
             fmt_code, _, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0)

@@ -20,7 +20,7 @@ import ray
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
-def _pool_size() -> tuple[int, int]:
+def actor_pool_size() -> tuple[int, int]:
     """Actor-pool bounds sized from the cluster, not hard-coded: autoscale
     from 1 (chained pools with min>1 can pre-claim every CPU and starve the
     upstream read) up to just below the CPU count (read tasks need slots)."""
@@ -41,7 +41,7 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner",
             return batch.merge(self.small, on=on, how=how)
 
     return big_ds.map_batches(JoinFn, batch_format="pandas",
-                              batch_size=batch_size, concurrency=_pool_size())
+                              batch_size=batch_size, concurrency=actor_pool_size())
 
 
 def semi_join_filter(big_ds, keys: set, key_col: str, batch_size: int = 8192):
@@ -62,7 +62,7 @@ def semi_join_filter(big_ds, keys: set, key_col: str, batch_size: int = 8192):
             return batch.filter(mask)
 
     return big_ds.map_batches(FilterFn, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=_pool_size())
+                              batch_size=batch_size, concurrency=actor_pool_size())
 
 
 _AGGS = {"sum": Sum, "min": Min, "max": Max, "mean": Mean}

@@ -49,7 +49,12 @@ def tokenize(text: str) -> list[str]:
 # never Python hash()). A real subword tokenizer replaces token_id/encode
 # without touching the window math.
 
-VOCAB_SIZE = 32768
+# hash-vocab size: a real tokenizer's lookup table has no collisions, but a
+# hash vocab does — at 2^30 slots the chance that any of ~30 single-token
+# gazetteer surfaces collides with any of ~100k corpus words is ~0.3%,
+# versus ~10% at a BERT-sized 32k vocab (a collision makes the ids-only
+# backend tag a random word as an entity)
+VOCAB_SIZE = 1 << 30
 PAD_ID, CLS_ID, SEP_ID = 0, 1, 2
 # entity-marker special tokens (reference adds them to the tokenizer,
 # /root/reference/src/extractor/data.py:330-340)
