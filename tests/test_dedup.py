@@ -351,3 +351,19 @@ def test_kmv_distinct_sketch(ray_session):
         if blocks == 1:
             first = est["n_distinct_est"]
     assert est["n_distinct_est"] == first     # layout-independent
+
+
+def test_connected_components_long_chain_and_cap(ray_session):
+    """Pointer jumping must fully merge a chain far deeper than the round
+    count plain propagation could reach; an insufficient iteration cap
+    must RAISE, never return silently-wrong clusters."""
+    import ray.data
+
+    from bionext_ray.ops.dedup import connected_components
+    n = 60
+    pairs = pa.table({"id_a": pa.array(list(range(n)), pa.int64()),
+                      "id_b": pa.array(list(range(1, n + 1)), pa.int64())})
+    out = connected_components(ray.data.from_arrow(pairs)).to_pandas()
+    assert (out["cluster_id"] == 0).all() and len(out) == n + 1
+    with pytest.raises(RuntimeError):
+        connected_components(ray.data.from_arrow(pairs), max_iters=2)

@@ -123,3 +123,12 @@ def test_frame_sample_fanout(ray_session):
     assert (per_vid["max"] + 1 == per_vid["count"]).all()
     # frames are binary and deterministic wrt payload
     assert all(isinstance(b, bytes) and len(b) == 16 for b in frames["frame"])
+
+
+def test_wav_rejects_truncated_chunk():
+    import numpy as np
+
+    from bionext_ray.ops.multimodal import decode_wav, encode_wav
+    payload = encode_wav(np.arange(10, dtype=np.int16), 16000)
+    with pytest.raises(ValueError):
+        decode_wav(payload[:-4])       # truncated data chunk

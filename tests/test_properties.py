@@ -24,7 +24,10 @@ BACKEND = SurrogateTaggerBackend(KB.gazetteer)
 TOKENS = st.sampled_from(
     list(KB.gazetteer)
     + ["filler", "alpha", "beta", "sparkle", "hashes", "slowly", "Mouse",
-       "Rat", "c.76A/G", "rs4242", "SPARK", ".", ",", ";", "-", "(", ")"])
+       "Rat", "c.76A/G", "rs4242", "SPARK", ".", ",", ";", "-", "(", ")",
+       # underscore-adjacent forms: the one character where the regex word
+       # boundary and the token class diverge (fast path must fall back)
+       "md5_update", "spark_x", "_spark", "slow_merge"])
 
 
 @st.composite
