@@ -80,8 +80,13 @@ def main(argv=None) -> int:
         from .stages.tagger import tagger_stage
 
         kb = default_kb()
-        ncpu = args.concurrency or int(ray.cluster_resources().get("CPU", 4))
-        conc = (1, max(2, ncpu))
+        if args.concurrency:
+            conc = (1, max(2, args.concurrency))
+        else:
+            # shared sizing rule: cap below the CPU count so upstream read
+            # tasks keep slots (a pool equal to num_cpus starves them)
+            from .ops.relational import actor_pool_size
+            conc = actor_pool_size()
         tag_backend = ext_backend = None
         if args.model_backend == "adapter":
             from .models import (SurrogateExtractorBackend,
