@@ -131,9 +131,26 @@ def _run_scaling_pipeline() -> dict:
         f"/tmp/bench_pages_sf{os.path.basename(sf_dir)}_x{factor}")
     # completion sentinel (outside the dir — read_parquet must only see
     # parquet files): a partially-written corpus from a crashed synthesis
-    # must never be silently reused as if complete
+    # must never be silently reused as if complete. The sentinel carries a
+    # fingerprint of the derivation code + source parquet, so a corpus
+    # synthesized by an EARLIER code revision (or from different docs) is
+    # rebuilt instead of silently reused across commits.
     sentinel = pages_dir.rstrip("/") + ".complete"
-    if not os.path.isfile(sentinel):
+    import hashlib
+    import bionext_ray.html_text as _ht
+    import bionext_ray.pipeline as _pl
+    _h = hashlib.blake2b(digest_size=16)
+    for mod in (_pl, _ht):
+        with open(mod.__file__, "rb") as f:
+            _h.update(f.read())
+    _h.update(repr(pq.read_metadata(
+        f"{sf_dir}/documents.parquet")).encode())
+    fingerprint = f"v1:{factor}:{_h.hexdigest()}"
+    cached = None
+    if os.path.isfile(sentinel):
+        with open(sentinel) as f:
+            cached = f.read().strip()
+    if cached != fingerprint:
         import shutil
         shutil.rmtree(pages_dir, ignore_errors=True)
         base = pq.read_table(f"{sf_dir}/documents.parquet",
@@ -154,7 +171,7 @@ def _run_scaling_pipeline() -> dict:
         pages_from_documents(tmp, num_blocks=64).write_parquet(
             pages_dir, row_group_size=2048)
         with open(sentinel, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
 
     ncpu_avail = int(ray.cluster_resources().get("CPU", num_cpus))
     from bionext_ray.ops.relational import (actor_pool_size,

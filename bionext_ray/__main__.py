@@ -81,7 +81,9 @@ def main(argv=None) -> int:
 
         kb = default_kb()
         if args.concurrency:
-            conc = (1, max(2, args.concurrency))
+            # honor an explicit cap exactly (a user-requested 1 must not
+            # become a 2-actor pool)
+            conc = (1, max(1, args.concurrency))
         else:
             # shared sizing rule: cap below the CPU count so upstream read
             # tasks keep slots (a pool equal to num_cpus starves them)

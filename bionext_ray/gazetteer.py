@@ -15,8 +15,11 @@ import re
 
 class GazetteerMatcher:
     def __init__(self, gazetteer: dict[str, str]):
-        """gazetteer: lowercase surface -> entity type label."""
-        self.gazetteer = dict(gazetteer)
+        """gazetteer: surface -> entity type label. Keys are normalized to
+        lowercase here so a mixed-case gazetteer works instead of raising
+        KeyError at match time (matching is IGNORECASE, and the label lookup
+        uses m.group(0).lower())."""
+        self.gazetteer = {k.lower(): v for k, v in gazetteer.items()}
         surfaces = sorted(self.gazetteer, key=len, reverse=True)
         alts = "|".join(re.escape(s) for s in surfaces)
         # IGNORECASE|ASCII instead of text.lower(): identical matches for

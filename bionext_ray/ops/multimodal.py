@@ -106,6 +106,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(
                 f"truncated {cid!r} chunk: declared {size}, got {len(body)}")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"short fmt chunk: {len(body)} bytes, need 16")
             fmt_code, _, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0)
         elif cid == b"data":

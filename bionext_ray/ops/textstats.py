@@ -109,9 +109,15 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 def term_count_batch(batch: pa.Table, terms: list[str]) -> pa.Table:
     """Per-doc occurrence counts of each single-word lowercase term over the
     space-split word sequence — the SQL-checkable face of gazetteer matching
-    (DuckDB's RE2 has no lookarounds, so the oracle splits on spaces too)."""
+    (DuckDB's RE2 has no lookarounds, so the oracle splits on spaces too).
+
+    `terms` is deduped at entry (first occurrence wins): index_in maps every
+    hit to the FIRST matching entry, so a duplicated term would otherwise
+    silently emit only one row where the pre-vectorized loop emitted one per
+    duplicate. One row per (doc, distinct term) is the contract."""
     import numpy as np
     import pyarrow.compute as pc
+    terms = list(dict.fromkeys(terms))
     text = pc.coalesce(batch["text"], "")
     words = pc.split_pattern(pc.utf8_lower(text), " ")   # list<string>
     lengths = pc.list_value_length(words).to_numpy()

@@ -132,3 +132,16 @@ def test_wav_rejects_truncated_chunk():
     payload = encode_wav(np.arange(10, dtype=np.int16), 16000)
     with pytest.raises(ValueError):
         decode_wav(payload[:-4])       # truncated data chunk
+
+
+def test_wav_rejects_short_fmt_chunk():
+    import struct
+
+    from bionext_ray.ops.multimodal import decode_wav
+    # well-formed RIFF whose fmt chunk body is only 8 bytes (< the 16 the
+    # PCM header needs) must raise ValueError, not struct.error
+    fmt_body = struct.pack("<HHI", 1, 1, 16000)        # 8 bytes
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body)
+    with pytest.raises(ValueError, match="short fmt chunk"):
+        decode_wav(payload)

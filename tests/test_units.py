@@ -172,3 +172,24 @@ def test_gazetteer_longest_match():
     ments = g.find_mentions("a slow merge happened slowly; slow.")
     assert [(m["text"], m["start_span"]) for m in ments] == [
         ("slow merge", 2), ("slow", 30)]
+
+
+def test_gazetteer_mixed_case_keys_normalized():
+    # a caller-supplied gazetteer with non-lowercase keys must work (keys
+    # are normalized in __init__) instead of KeyError at match time
+    g = GazetteerMatcher({"Mouse": "OrganismTaxon"})
+    ments = g.find_mentions("the MOUSE ran")
+    assert [(m["text"], m["label"]) for m in ments] == [
+        ("MOUSE", "OrganismTaxon")]
+
+
+def test_term_count_batch_dedupes_terms():
+    import pyarrow as pa
+
+    from bionext_ray.ops.textstats import term_count_batch
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["gene gene protein"])})
+    out = term_count_batch(batch, ["gene", "protein", "gene"])
+    rows = sorted(zip(out["term"].to_pylist(), out["n"].to_pylist()))
+    # one row per (doc, distinct term); duplicate entry doesn't double-emit
+    assert rows == [("gene", 2), ("protein", 1)]
