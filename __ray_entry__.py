@@ -266,12 +266,19 @@ def q_embedding_neardup(sf_dir: str):
     # the synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.48), so the demo threshold sits below that; production near-dup
     # would use 0.9+. Few planes -> high recall at this low threshold.
-    pairs = embedding_neardup(ds, threshold=0.35, n_planes=4).to_pandas()
-    return pa.table({
-        "id_a": pa.array(pairs.get("id_a", []), pa.int64()),
-        "id_b": pa.array(pairs.get("id_b", []), pa.int64()),
-        "cos_micro": pa.array(pairs.get("cos_micro", []), pa.int64()),
-    })
+    pairs = embedding_neardup(ds, threshold=0.35, n_planes=4)
+
+    # stable-schema cast stays inside the stream (map_batches), no driver
+    # pandas materialization of the pair list
+    def shape(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "id_a": pc.cast(b["id_a"], pa.int64()),
+            "id_b": pc.cast(b["id_b"], pa.int64()),
+            "cos_micro": pc.cast(b["cos_micro"], pa.int64()),
+        })
+
+    return pairs.map_batches(shape, batch_format="pyarrow")
 
 
 def q_embedding_pairs_exact(sf_dir: str):
@@ -302,7 +309,10 @@ def q_neardup_verified(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"],
                                  override_num_blocks=max(8, 4 * sp))
-    cands = minhash_lsh_candidates(docs, shuffle_partitions=sp).to_pandas()
+    # candidates stream straight into verification as a Dataset — no
+    # driver-side pandas materialization of the (potentially huge at
+    # corpus scale) candidate-pair list
+    cands = minhash_lsh_candidates(docs, shuffle_partitions=sp)
     docs2 = _read(sf_dir, "documents", ["doc_id", "text"])
     return verify_jaccard_pairs(docs2, cands, threshold=0.5)
 

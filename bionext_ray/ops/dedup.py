@@ -442,16 +442,27 @@ def verify_jaccard_pairs(documents_ds, candidate_pairs, threshold: float = 0.8,
 
     P = max(16, shuffle_partitions or 0)
 
-    # involved ids to the driver ONCE (two int64 columns, never texts)
-    id_tbl = pa.concat_tables(ray.get(pairs_ds.to_arrow_refs()))
-    if id_tbl.num_rows == 0:
+    # involved ids to the driver as PER-BLOCK UNIQUES, not raw pair rows:
+    # each block reduces its (id_a, id_b) columns to one deduped id column
+    # in a task, so the driver concat is bounded by the number of distinct
+    # involved docs (which it must hold anyway to ray.put the broadcast
+    # set), never by the candidate-pair count.
+    def _block_ids(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"__id": pa.array(u, pa.int64())})
+
+    id_blocks = ray.get(pairs_ds.map_batches(
+        _block_ids, batch_format="pyarrow").to_arrow_refs())
+    id_arrays = [t["__id"].to_numpy(zero_copy_only=False)
+                 for t in id_blocks if t.num_rows]
+    if not id_arrays:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),
             "id_b": pa.array([], pa.int64()),
             "jaccard_micro": pa.array([], pa.int64())}))
-    involved = np.unique(np.concatenate([
-        id_tbl["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
-        id_tbl["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+    involved = np.unique(np.concatenate(id_arrays))
     inv_ref = ray.put(involved)
 
     def grab(batch: pa.Table) -> pa.Table:

@@ -94,12 +94,28 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Order-insensitive vocabulary fingerprint: md5 of the sorted distinct
-    space-separated lowercase words."""
-    texts = batch["text"].to_pylist()
-    fps = []
-    for t in texts:
-        vocab = sorted(set((t or "").lower().split(" ")))
-        fps.append(hashlib.md5(" ".join(vocab).encode("utf-8")).hexdigest())
+    space-separated lowercase words.
+
+    Vectorized: Arrow lower+split+flatten explodes the batch vocabulary
+    once, a single pandas drop_duplicates/sort/groupby-join builds every
+    doc's canonical vocab string, and only the md5 digest (one call per
+    DOC, not per word) stays in Python. Same bytes hashed as the old
+    per-row loop: ``" ".join(sorted(set(text.lower().split(" "))))``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    text = pc.coalesce(batch["text"], "")
+    words = pc.split_pattern(pc.utf8_lower(text), " ")   # list<string>
+    lengths = pc.list_value_length(words).to_numpy()
+    flat = pc.list_flatten(words)
+    doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    df = pd.DataFrame({"d": doc_idx,
+                       "w": flat.to_numpy(zero_copy_only=False)})
+    # split(" ") of "" is [""] so every doc has >= 1 word row; pandas
+    # object-dtype sort uses the same str ordering as sorted()
+    df = df.drop_duplicates().sort_values(["d", "w"], kind="stable")
+    joined = df.groupby("d", sort=True)["w"].agg(" ".join)
+    fps = [hashlib.md5(v.encode("utf-8")).hexdigest() for v in joined]
     return pa.table({
         "doc_id": batch["doc_id"],
         "fingerprint": pa.array(fps, pa.string()),
