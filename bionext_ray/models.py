@@ -130,15 +130,40 @@ class TorchTaggerBackend:
     ``.logits`` (B, L, n_labels) — or the decoded (B, L) label ids directly
     when ``decodes=True`` (a CRF head does its own Viterbi decode,
     /root/reference/src/tagger/model/modeling_bionexttagger.py:113-450).
+    With ``decodes=False`` the logits go through the numpy CRF-Viterbi
+    layer (``bionext_ray.crf.viterbi_decode``) with the reference's
+    impossible-transition mask, so even a plain token-classification head
+    emits BIO-valid sequences; learned CRF scores are picked up from
+    ``model.crf.{start_transitions,transitions,end_transitions}`` when the
+    model carries them. Pass ``viterbi=False`` for a raw argmax.
     Torch is imported lazily; construction fails fast without it.
     """
 
-    def __init__(self, model, device: str = "cpu", decodes: bool = False):
-        import torch  # noqa: F401 — hard requirement for this backend
-        self._torch = torch
+    def __init__(self, model, device: str = "cpu", decodes: bool = False,
+                 viterbi: bool = True, torch_module=None):
+        # torch_module seam: tests drive the exact adapter glue (dtype,
+        # device, .logits/.cpu() handling) with a numpy mock that follows
+        # the HF calling convention; production leaves it None -> torch
+        if torch_module is None:
+            import torch  # noqa: F401 — hard requirement for this backend
+            torch_module = torch
+        self._torch = torch_module
         self.model = model.to(device).eval() if hasattr(model, "to") else model
         self.device = device
         self.decodes = decodes
+        self.viterbi = viterbi
+        # learned CRF scores, if the model exposes a torchcrf-shaped head
+        self._crf_scores = {}
+        crf = getattr(model, "crf", None)
+        if crf is not None:
+            for name, kw in (("start_transitions", "start_transitions"),
+                             ("transitions", "transitions"),
+                             ("end_transitions", "end_transitions")):
+                p = getattr(crf, name, None)
+                if p is not None:
+                    arr = p.detach().cpu().numpy() if hasattr(p, "detach") \
+                        else np.asarray(p, dtype=np.float64)
+                    self._crf_scores[kw] = arr
 
     def __call__(self, input_ids: np.ndarray,
                  attention_mask: np.ndarray) -> np.ndarray:
@@ -152,7 +177,11 @@ class TorchTaggerBackend:
             dec = out.logits if hasattr(out, "logits") else out
             return np.asarray(dec.cpu() if hasattr(dec, "cpu") else dec,
                               dtype=np.int64)
-        return out.logits.argmax(-1).cpu().numpy().astype(np.int64)
+        logits = out.logits.cpu().numpy()
+        if self.viterbi:
+            from .crf import viterbi_decode
+            return viterbi_decode(logits, attention_mask, **self._crf_scores)
+        return logits.argmax(-1).astype(np.int64)
 
 
 # ---------------------------------------------------------------- extractor
@@ -191,9 +220,11 @@ class TorchExtractorBackend:
 
     wants_inputs = True
 
-    def __init__(self, model, device: str = "cpu"):
-        import torch  # noqa: F401
-        self._torch = torch
+    def __init__(self, model, device: str = "cpu", torch_module=None):
+        if torch_module is None:
+            import torch  # noqa: F401
+            torch_module = torch
+        self._torch = torch_module
         self.model = model.to(device).eval() if hasattr(model, "to") else model
         self.device = device
 
@@ -220,9 +251,11 @@ class TorchEmbedderBackend:
     ``bionext_ray.embedding.embed_batch`` in EmbeddingIndex."""
 
     def __init__(self, model, tokenizer, device: str = "cpu",
-                 max_length: int = MODEL_MAX_LENGTH):
-        import torch  # noqa: F401
-        self._torch = torch
+                 max_length: int = MODEL_MAX_LENGTH, torch_module=None):
+        if torch_module is None:
+            import torch  # noqa: F401
+            torch_module = torch
+        self._torch = torch_module
         self.model = model.to(device).eval() if hasattr(model, "to") else model
         self.tokenizer = tokenizer
         self.device = device
