@@ -60,8 +60,13 @@ def viterbi_decode(emissions: np.ndarray,
         emissions: float array (batch, seq_len, n_tags) of per-token tag
             scores (logits).
         mask: optional (batch, seq_len) 0/1 attention mask; position 0 must
-            be valid for every sample (reference asserts the same). Padded
-            positions are never traced and come back as tag 0 (O).
+            be valid for every sample (reference asserts the same) and the
+            mask must be CONTIGUOUS suffix padding (1s then 0s) — holes are
+            rejected, because the torchcrf-style recurrence silently
+            misaligns the backtrace on hole-y masks (the reference
+            sidesteps this by decoding unmasked,
+            modeling_bionexttagger.py:103). Padded positions are never
+            traced and come back as tag 0 (O).
         transitions / start_transitions / end_transitions: optional learned
             CRF scores ((T, T), (T,), (T,)). When omitted they default to
             zeros, so decoding degenerates to a CONSTRAINED argmax — exactly
@@ -85,6 +90,9 @@ def viterbi_decode(emissions: np.ndarray,
             m = m[None]
     if not m[:, 0].all():
         raise ValueError("first timestep of every sample must be unmasked")
+    if (np.diff(m.astype(np.int8), axis=1) > 0).any():
+        raise ValueError("mask must be contiguous suffix padding (no holes);"
+                         " decode unmasked for windows with left PADs")
 
     start = (np.zeros(T) if start_transitions is None
              else np.asarray(start_transitions, dtype=np.float64).copy())

@@ -179,8 +179,13 @@ class TorchTaggerBackend:
                               dtype=np.int64)
         logits = out.logits.cpu().numpy()
         if self.viterbi:
+            # the reference decodes UNMASKED — crf.decode(logits) with no
+            # mask (modeling_bionexttagger.py:103); window attention masks
+            # have LEFT-pad holes the torchcrf recurrence doesn't support
+            # anyway. Pad positions decode to whatever wins and are dropped
+            # later by their None offsets.
             from .crf import viterbi_decode
-            return viterbi_decode(logits, attention_mask, **self._crf_scores)
+            return viterbi_decode(logits, **self._crf_scores)
         return logits.argmax(-1).astype(np.int64)
 
 

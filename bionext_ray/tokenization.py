@@ -88,3 +88,70 @@ def encode(text: str) -> list[int]:
     """Token ids of a text (no special tokens), mirroring
     `tokenizer(text, add_special_tokens=False).ids`."""
     return [token_id(t) for t in _TOKEN_RE.findall(text)]
+
+
+# ---------------------------------------------------------------------------
+# toy subword BPE tokenizer: proves the window/decode math is correct when a
+# word splits into MULTIPLE subtokens (the reference's real tokenizer is
+# subword — it consumes `.ids` + `.offsets`, /root/reference/src/data.py:
+# 169-171). Pre-tokenization is the same word/punct/marker split as above;
+# each word then goes through greedy merge-table BPE starting from single
+# characters. Continuation pieces are id-hashed with a "##" prefix (BERT
+# wordpiece convention) so "in" the word piece and "in" the whole word get
+# distinct ids. Offsets are char spans of each PIECE in the original text —
+# exactly what a HF fast tokenizer's offset mapping provides.
+
+class ToyBPETokenizer:
+    """Merge-table byte-pair tokenizer over the standard pre-token split.
+
+    ``merges`` is an ordered list of (left, right) string pairs, highest
+    priority first — the classic BPE merge table. Words not covered by any
+    merge stay fully character-split (worst-case subwording), so EVERY
+    multi-char word is a multi-token word under the default empty table.
+    """
+
+    def __init__(self, merges: list[tuple[str, str]] | None = None):
+        self.ranks = {tuple(p): i for i, p in enumerate(merges or [])}
+
+    def _bpe_word(self, word: str) -> list[str]:
+        pieces = list(word)
+        while len(pieces) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(pieces) - 1):
+                r = self.ranks.get((pieces[i], pieces[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            pieces[best_i:best_i + 2] = [pieces[best_i] + pieces[best_i + 1]]
+        return pieces
+
+    def encode_with_offsets(
+            self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        """(ids, char-span offsets), mirroring a HF fast tokenizer's
+        ``.ids`` + ``.offsets`` with add_special_tokens=False."""
+        ids: list[int] = []
+        offs: list[tuple[int, int]] = []
+        for m in _TOKEN_RE.finditer(text):
+            s, e = m.span()
+            surface = text[s:e].lower()
+            if surface in MARKER_IDS:
+                ids.append(MARKER_IDS[surface])
+                offs.append((s, e))
+                continue
+            pos = s
+            for k, piece in enumerate(self._bpe_word(surface)):
+                ids.append(token_id(piece if k == 0 else "##" + piece))
+                offs.append((pos, pos + len(piece)))
+                pos += len(piece)
+        return ids, offs
+
+
+class HashWordTokenizer:
+    """The default whole-word hash-vocab tokenizer behind the same
+    ``encode_with_offsets`` interface (one token per word)."""
+
+    def encode_with_offsets(
+            self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        offs = tokenize_with_offsets(text)
+        return [token_id(text[s:e]) for s, e in offs], offs

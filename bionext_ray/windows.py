@@ -29,7 +29,8 @@ from .tokenization import CLS_ID, PAD_ID, SEP_ID, token_id, tokenize_with_offset
 Offset = "tuple[int, int] | None"
 
 
-def make_windows(text: str, with_inputs: bool = False) -> list[dict]:
+def make_windows(text: str, with_inputs: bool = False,
+                 tokenizer=None) -> list[dict]:
     """Split a document into tagger windows.
 
     Returns a list of samples ``{"sequence_id", "offsets", "view_offset"}``
@@ -44,11 +45,23 @@ def make_windows(text: str, with_inputs: bool = False) -> list[dict]:
     real token 1, and the window is [CLS] + 63-left + 384-center +
     63-right + [SEP] with mask 1 on CLS/SEP. This is what a real
     token-classification model consumes.
+
+    ``tokenizer`` (optional) is any object with ``encode_with_offsets(text)
+    -> (ids, offsets)`` — e.g. ``tokenization.ToyBPETokenizer`` — so the
+    window math runs unchanged under a SUBWORD vocab where one word spans
+    several tokens (the reference consumes exactly this ids+offsets pair,
+    /root/reference/src/data.py:169-171). Default None keeps the whole-word
+    hash-vocab fast path.
     """
-    offsets = tokenize_with_offsets(text)
+    if tokenizer is None:
+        offsets = tokenize_with_offsets(text)
+        if with_inputs:
+            tok_ids = [token_id(text[s:e]) for s, e in offsets]
+    else:
+        tok_ids, offsets = tokenizer.encode_with_offsets(text)
     padded: list = [None] * CTX + list(offsets)
     if with_inputs:
-        ids: list = [PAD_ID] * CTX + [token_id(text[s:e]) for s, e in offsets]
+        ids: list = [PAD_ID] * CTX + tok_ids
         attn: list = [0] * CTX + [1] * len(offsets)
     samples = []
     j = 0
