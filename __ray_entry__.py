@@ -200,6 +200,34 @@ def q_term_counts(sf_dir: str):
         lambda b: term_count_batch(b, terms), batch_format="pyarrow")
 
 
+# pred/gold term->class maps for the span-metrics query: overlaps (tp),
+# class disagreements (hash), one-sided terms (vector/batch) so tp, fn and
+# fp are all exercised at sf0.01
+_NER_GOLD = {"join": 0, "hash": 0, "scan": 1, "merge": 2, "vector": 3,
+             "stream": 4, "filter": 5}
+_NER_PRED = {"join": 0, "hash": 1, "scan": 1, "merge": 2, "batch": 3,
+             "stream": 4, "filter": 5}
+
+
+def q_ner_prf(sf_dir: str):
+    """Span-level micro/macro P/R/F1 (integer ppm) of a predicted mention
+    set vs gold (reference NERMetrics, src/tagger/metrics.py:82-153), as a
+    distributed operator: one doc_id-bucketed exchange, per-doc integer
+    partials, tiny final aggregate."""
+    import pyarrow.parquet as pq
+
+    from bionext_ray.ops.metrics import span_prf, term_spans_batch
+    from bionext_ray.ops.relational import estimate_partitions
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    pred = docs.map_batches(lambda b: term_spans_batch(b, _NER_PRED),
+                            batch_format="pyarrow")
+    gold = docs.map_batches(lambda b: term_spans_batch(b, _NER_GOLD),
+                            batch_format="pyarrow")
+    return span_prf(pred, gold, n_docs=n_docs, shuffle_partitions=sp)
+
+
 # ---------------------------------------------------------------------------
 # dedup ops
 
@@ -795,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "domain_stats": q_domain_stats,
         "term_counts": q_term_counts,
+        "ner_prf": q_ner_prf,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
@@ -828,6 +857,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in _terms())
+
+    def _ner_values(m: dict) -> str:
+        return ", ".join(f"('{t}', {c})" for t, c in m.items())
     return {
         "kg_extract_text": f"""
             SELECT 'https://example.org/doc/' || doc_id AS url,
@@ -957,6 +989,88 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "ner_prf": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(COALESCE(text, '')), ' '))
+                         AS word,
+                     generate_subscripts(
+                         string_split(lower(COALESCE(text, '')), ' '), 1)
+                         AS idx
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, word,
+                     CAST(COALESCE(SUM(length(word)) OVER (
+                         PARTITION BY doc_id ORDER BY idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) + idx - 1 AS BIGINT) AS s
+              FROM w
+            ),
+            spans AS (SELECT doc_id, word, s, s + length(word) AS e
+                      FROM pos),
+            pred AS (SELECT DISTINCT doc_id, s, e, t.cls FROM spans
+                     JOIN (VALUES {_ner_values(_NER_PRED)}) t(term, cls)
+                       ON word = t.term),
+            gold AS (SELECT DISTINCT doc_id, s, e, t.cls FROM spans
+                     JOIN (VALUES {_ner_values(_NER_GOLD)}) t(term, cls)
+                       ON word = t.term),
+            cell AS (
+              SELECT COALESCE(p.doc_id, g.doc_id) AS doc_id,
+                     COALESCE(p.cls, g.cls) AS cls,
+                     SUM(CASE WHEN p.doc_id IS NOT NULL
+                               AND g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                         AS tp,
+                     SUM(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END)
+                         AS fn,
+                     SUM(CASE WHEN g.doc_id IS NULL THEN 1 ELSE 0 END)
+                         AS fp
+              FROM pred p FULL OUTER JOIN gold g
+                ON p.doc_id = g.doc_id AND p.s = g.s AND p.e = g.e
+               AND p.cls = g.cls
+              GROUP BY 1, 2
+            ),
+            ppm AS (
+              SELECT doc_id, tp, fn, fp,
+                     CASE WHEN tp = 0 THEN 0
+                          ELSE tp * 1000000 // (tp + fp) END AS p_ppm,
+                     CASE WHEN tp = 0 THEN 0
+                          ELSE tp * 1000000 // (tp + fn) END AS r_ppm
+              FROM cell
+            ),
+            ppm2 AS (SELECT *, CASE WHEN p_ppm + r_ppm = 0 THEN 0
+                                    ELSE (2 * p_ppm * r_ppm)
+                                         // (p_ppm + r_ppm) END AS f1_ppm
+                     FROM ppm),
+            perdoc AS (
+              SELECT doc_id, SUM(tp) AS tp, SUM(fn) AS fn, SUM(fp) AS fp,
+                     SUM(p_ppm) // 6 AS sp, SUM(r_ppm) // 6 AS sr,
+                     SUM(f1_ppm) // 6 AS sf
+              FROM ppm2 GROUP BY doc_id
+            ),
+            tot AS (SELECT SUM(tp) AS tp, SUM(fn) AS fn, SUM(fp) AS fp,
+                           SUM(sp) AS sp, SUM(sr) AS sr, SUM(sf) AS sf
+                    FROM perdoc),
+            micro AS (
+              SELECT tp, fn, fp, sp, sr, sf,
+                     CASE WHEN tp = 0 THEN 0
+                          ELSE tp * 1000000 // (tp + fp) END AS mp,
+                     CASE WHEN tp = 0 THEN 0
+                          ELSE tp * 1000000 // (tp + fn) END AS mr
+              FROM tot)
+            SELECT CAST(mp AS BIGINT) AS micro_p_ppm,
+                   CAST(mr AS BIGINT) AS micro_r_ppm,
+                   CAST(CASE WHEN mp + mr = 0 THEN 0
+                             ELSE (2 * mp * mr) // (mp + mr) END AS BIGINT)
+                       AS micro_f1_ppm,
+                   CAST(sp // nd.n AS BIGINT) AS macro_p_ppm,
+                   CAST(sr // nd.n AS BIGINT) AS macro_r_ppm,
+                   CAST(sf // nd.n AS BIGINT) AS macro_f1_ppm,
+                   CAST(tp AS BIGINT) AS tp, CAST(fn AS BIGINT) AS fn,
+                   CAST(fp AS BIGINT) AS fp,
+                   CAST(nd.n AS BIGINT) AS n_docs
+            FROM micro, (SELECT COUNT(*) AS n FROM documents) nd
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (
