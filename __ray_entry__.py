@@ -63,10 +63,11 @@ def _kg_stages(sf_dir: str):
     # max just below the CPU count so read tasks keep slots)
     from bionext_ray.ops.relational import actor_pool_size
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    blocks = max(2 * ncpu, sp)
     return kg_stage_datasets(
-        pages_from_documents(sf_dir, num_blocks=max(2 * ncpu, sp)),
+        pages_from_documents(sf_dir, num_blocks=blocks),
         concurrency=actor_pool_size(),
-        batch_size=256, shuffle_partitions=sp)
+        batch_size=256, shuffle_partitions=sp, input_blocks=blocks)
 
 
 def q_kg_extract_text(sf_dir: str):
@@ -230,6 +231,36 @@ def q_ner_prf(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # dedup ops
+
+def q_train_example_dedup(sf_dir: str):
+    """D4: few-shot train-example dedup (reference seq_variant.py:324-346)
+    over samples derived deterministically from the documents table —
+    codon->amino-acid conversion, first-comma gene resolution against the
+    KB gene_lookup (unknown genes dropped), exact set dedup."""
+    import pyarrow.compute as pc
+
+    from bionext_ray.kb import default_kb
+    from bionext_ray.ops.dedup import train_example_dedup
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        text = pc.coalesce(b["text"], "")
+        first = pc.list_element(pc.split_pattern(text, " "), 0)
+        sample_text = pc.binary_join_element_wise(
+            "p.", pc.utf8_upper(first), "TAA", "")
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gene = np.where(did % 5 == 0,
+                        [f"G{100 + int(d) % 3},G999" for d in did],
+                        [f"G{100 + int(d) % 3}" for d in did])
+        return pa.table({
+            "text": sample_text,
+            "norm": b["lang"],
+            "nearest_gene": pa.array(gene.tolist(), pa.string()),
+        })
+
+    samples = docs.map_batches(derive, batch_format="pyarrow")
+    return train_example_dedup(samples, default_kb().gene_lookup)
+
 
 def q_dedup_exact(sf_dir: str):
     from bionext_ray.ops.dedup import exact_dedup
@@ -825,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_counts": q_term_counts,
         "ner_prf": q_ner_prf,
         "dedup_exact": q_dedup_exact,
+        "train_example_dedup": q_train_example_dedup,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "simsearch_topk": q_simsearch_topk,
@@ -860,6 +892,19 @@ def oracle_sql() -> dict[str, str]:
 
     def _ner_values(m: dict) -> str:
         return ", ".join(f"('{t}', {c})" for t, c in m.items())
+
+    def _aa_sql(col: str) -> str:
+        from bionext_ray.functions.variant_norm import CODON_AMINO
+        expr = col
+        for k, v in CODON_AMINO.items():
+            expr = f"replace({expr}, '{k}', '{v}')"
+        return expr
+
+    def _gene_lookup_values() -> str:
+        from bionext_ray.kb import default_kb
+        return ", ".join(f"('{k}', '{v}')"
+                         for k, v in default_kb().gene_lookup.items())
+
     return {
         "kg_extract_text": f"""
             SELECT 'https://example.org/doc/' || doc_id AS url,
@@ -989,6 +1034,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "train_example_dedup": f"""
+            WITH samples AS (
+              SELECT 'p.' || upper(split_part(COALESCE(text, ''), ' ', 1))
+                         || 'TAA' AS text,
+                     lang AS norm,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'G' || CAST(100 + doc_id % 3 AS VARCHAR)
+                               || ',G999'
+                          ELSE 'G' || CAST(100 + doc_id % 3 AS VARCHAR)
+                     END AS nearest_gene
+              FROM documents
+            )
+            SELECT DISTINCT {_aa_sql('s.text')} AS text, s.norm AS norm,
+                   g.sym AS gene
+            FROM samples s
+            JOIN (VALUES {_gene_lookup_values()}) g(gid, sym)
+              ON split_part(s.nearest_gene, ',', 1) = g.gid
         """,
         "ner_prf": f"""
             WITH w AS (

@@ -132,3 +132,21 @@ def expected_text(doc: dict) -> str:
 
 def make_pages(n_docs: int = 40, seed: int = 7) -> pa.Table:
     return pages_table(make_documents(n_docs, seed))
+
+
+def fake_pmid_transport(pmid: str) -> dict:
+    """Hermetic stand-in for the NCBI BioC GET (sources/pmid.py): a
+    reference-shaped BioC collection for any PMID. Lets the PMID ingest
+    source run end-to-end without network (tests, demos)."""
+    return {"documents": [{
+        "id": str(pmid),
+        "passages": [
+            {"offset": 0, "text": f"Title {pmid}", "annotations": [
+                {"id": "0", "text": "spark",
+                 "infons": {"type": "GeneOrGeneProduct",
+                            "identifier": "G100"},
+                 "locations": [{"offset": 6, "length": 5}]}]},
+            {"offset": 12, "text": f"Abstract of {pmid}.",
+             "annotations": []},
+        ],
+    }]}

@@ -711,3 +711,47 @@ def connected_components(pairs_ds, shuffle_partitions: int | None = None,
         return pa.table({"node": b["node"],
                          "cluster_id": b["label"]})
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def train_example_dedup(samples_ds, gene_lookup: dict[str, str],
+                        shuffle_partitions: int | None = None):
+    """Train-example dedup (reference D4, src/linker/seq_variant.py:324-346):
+    each sample row (text, norm, nearest_gene) becomes the tuple
+    (convert_amino_acids(text), norm, gene_lookup[first nearest_gene]) —
+    nearest_gene keeps only the part before the first comma, rows whose gene
+    is absent from gene_lookup are DROPPED — then exact set dedup.
+
+    Distributed: gene_lookup is broadcast once (ray.put, zero-copy reads in
+    every task); each block converts + locally dedups (combiner), so only
+    distinct partials cross the one groupby exchange. Output columns:
+    (text, norm, gene)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.variant_norm import convert_amino_acids
+
+    lk_ref = ray.put(dict(gene_lookup))
+    keys = ["text", "norm", "gene"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        lk = ray.get(lk_ref)
+        seen = set()
+        for text, norm, ng in zip(b["text"].to_pylist(),
+                                  b["norm"].to_pylist(),
+                                  b["nearest_gene"].to_pylist()):
+            g = lk.get((ng or "").split(",")[0])
+            if g is not None:
+                seen.add((convert_amino_acids(text or ""), norm or "", g))
+        rows = sorted(seen)
+        return pa.table({
+            "text": pa.array([r[0] for r in rows], pa.string()),
+            "norm": pa.array([r[1] for r in rows], pa.string()),
+            "gene": pa.array([r[2] for r in rows], pa.string()),
+        })
+
+    deduped = samples_ds.map_batches(prep, batch_format="pyarrow")
+    if shuffle_partitions is not None:
+        deduped = deduped.repartition(shuffle_partitions)
+    agg = deduped.groupby(keys).aggregate(Count(alias_name="__n"))
+    return agg.map_batches(lambda b: b.select(keys),
+                           batch_format="pyarrow")

@@ -97,7 +97,8 @@ def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
                       concurrency=4, batch_size: int = 256,
                       shuffle_partitions: int | None = None,
                       check_schemas: bool = False,
-                      backends: dict | None = None) -> dict:
+                      backends: dict | None = None,
+                      input_blocks: int | None = None) -> dict:
     """Each pipeline boundary as its own (lazy) Dataset — checkpointable.
 
     The intermediate boundaries (tagged/linked) use the separate actor
@@ -126,7 +127,8 @@ def kg_stage_datasets(pages_ds, kb: KnowledgeBase | None = None,
         "linked_mentions": explode_mentions(linked),
         "triples": triples,
         "canonical": canonicalize_stage(triples,
-                                        shuffle_partitions=shuffle_partitions),
+                                        shuffle_partitions=shuffle_partitions,
+                                        input_blocks=input_blocks),
     }
     if check_schemas:
         # opt-in: schema inference on a LAZY dataset executes a sample

@@ -36,15 +36,22 @@ def _partial_agg(batch: pa.Table) -> pa.Table:
     })
 
 
-def canonicalize_stage(triples_ds, shuffle_partitions: int | None = None):
+def canonicalize_stage(triples_ds, shuffle_partitions: int | None = None,
+                       input_blocks: int | None = None):
     """Canonical triples: subj, pred, obj, support (doc count), novel_docs.
 
     ``shuffle_partitions`` coalesces the (already block-combined) partials
     before the final groupby; size it to the expected distinct-triple volume
     (ops.relational.estimate_partitions on the input corpus is a good proxy),
-    or leave None to follow the input block count."""
+    or leave None to follow the input block count.
+
+    ``input_blocks`` is the caller's block-count hint for ``triples_ds``
+    (map stages keep roughly the input block structure). When the partials
+    already sit in <= shuffle_partitions blocks, the coalescing repartition
+    is a pure extra exchange — it is skipped."""
     partial = triples_ds.map_batches(_partial_agg, batch_format="pyarrow")
-    if shuffle_partitions is not None:
+    if shuffle_partitions is not None and (
+            input_blocks is None or input_blocks > shuffle_partitions):
         partial = partial.repartition(shuffle_partitions)
     return partial.groupby(CANONICAL_KEYS).aggregate(
         Sum("support", alias_name="support"),
