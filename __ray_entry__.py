@@ -43,7 +43,8 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _cents(batch: pa.Table, col: str, out: str) -> pa.Table:
-    v = np.rint(np.asarray(batch[col].to_pylist(), dtype=np.float64) * 100)
+    # zero-copy column -> numpy (no Python-object round-trip)
+    v = np.rint(batch[col].to_numpy(zero_copy_only=False) * 100)
     return batch.append_column(out, pa.array(v.astype(np.int64), pa.int64()))
 
 
@@ -378,6 +379,162 @@ def q_neardup_verified(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # relational / aggregate queries (TPC-H-ish)
+
+def q_priority_revenue(sf_dir: str):
+    """Big-big shuffle join: lineitem x orders co-located by orderkey hash
+    bucket in ONE exchange (neither side broadcast — the fact x fact case
+    broadcast_join cannot serve at 100 TB), a post-join filter that needs
+    columns from BOTH sides (l_shipdate > o_orderdate, not pushable below
+    the join), then partial+final aggregate per order priority."""
+    from bionext_ray.ops.relational import (estimate_partitions,
+                                            partial_final_agg, shuffle_join)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = _cents(batch, "l_extendedprice", "ep_cents")
+        disc = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        ep = batch["ep_cents"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "qty": pa.array(qty, pa.int64()),
+            "rev_units": pa.array(ep * (100 - disc), pa.int64()),
+            "l_shipdate": batch["l_shipdate"],
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    sp = estimate_partitions([f"{sf_dir}/lineitem.parquet",
+                              f"{sf_dir}/orders.parquet"])
+    joined = shuffle_join(li.map_batches(prep, batch_format="pyarrow"),
+                          orders, on=("l_orderkey", "o_orderkey"),
+                          left_cols=["qty", "rev_units", "l_shipdate"],
+                          right_cols=["o_orderdate", "o_orderpriority"],
+                          shuffle_partitions=sp)
+
+    def late(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = batch.filter(pc.greater(batch["l_shipdate"],
+                                    batch["o_orderdate"]))
+        return b.append_column(
+            "one", pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64()))
+
+    return partial_final_agg(
+        joined.map_batches(late, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("one", "sum", "n_late"), ("qty", "sum", "sum_qty"),
+         ("rev_units", "sum", "rev_units")])
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS): dormant customers — no order since
+    2001-01-01. Recent-order custkeys are reduced to per-block uniques in
+    tasks, broadcast ONCE via ray.put, and customers stream through the
+    inverted membership mask; count survivors per nation.
+    (For an anti-join whose right side is itself too big to broadcast,
+    shuffle_join(how='left') + null-match filter is the scale path.)"""
+    import ray
+
+    from bionext_ray.ops.relational import (anti_join_filter,
+                                            partial_final_agg)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def blk_unique(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.greater_equal(
+            b["o_orderdate"],
+            pa.scalar(np.datetime64("2001-01-01", "us"))))
+        u = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(u, pa.int64())})
+
+    blocks = ray.get(orders.map_batches(
+        blk_unique, batch_format="pyarrow").to_arrow_refs())
+    arrs = [t["k"].to_numpy() for t in blocks if t.num_rows]
+    keys = set(np.unique(np.concatenate(arrs)).tolist()) if arrs else set()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    no_ord = anti_join_filter(cust, keys, "c_custkey")
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64()),
+        })
+
+    return partial_final_agg(no_ord.map_batches(prep, batch_format="pyarrow"),
+                             ["nationkey"], [("one", "sum", "n_cust")])
+
+
+def q_events_running_total(sf_dir: str):
+    """Window function — SUM(v) OVER (PARTITION BY user ORDER BY ts, id)
+    plus ROW_NUMBER — distributed: one user-bucketed exchange, then one
+    vectorized grouped cumsum/cumcount per bucket (never per-key Python)."""
+    from bionext_ray.ops.relational import estimate_partitions, running_agg
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "ts": batch["ts"],
+            "user_id": batch["user_id"],
+            "v_milli": pa.array(v.astype(np.int64), pa.int64()),
+        })
+
+    sp = estimate_partitions(f"{sf_dir}/events.parquet")
+    out = running_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                      "user_id", ["ts", "event_id"], "v_milli",
+                      "run_milli", row_number_alias="rn",
+                      shuffle_partitions=sp)
+
+    def shape(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "run_milli": pc.cast(b["run_milli"], pa.int64()),
+            "rn": pc.cast(b["rn"], pa.int64()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) windows: 1-hour windows every 15 minutes (4x
+    overlap), fan-out vectorized per batch, partial+final aggregate per
+    (event_type, window_start)."""
+    from bionext_ray.ops.relational import hopping_window
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "ts": batch["ts"],
+            "v_milli": pa.array(v.astype(np.int64), pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64),
+                            pa.int64()),
+        })
+
+    return hopping_window(ev.map_batches(prep, batch_format="pyarrow"),
+                          "event_type", "ts", width_s=3600, hop_s=900,
+                          specs=[("one", "sum", "n_events"),
+                                 ("v_milli", "sum", "sum_milli")])
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub (emails then >=6-digit runs -> placeholder tokens): pure
+    Arrow RE2 column kernels; the oracle runs the IDENTICAL RE2 patterns
+    through DuckDB regexp_replace/regexp_extract_all."""
+    from bionext_ray.ops.textstats import redact_pii_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        redact_pii_batch, batch_format="pyarrow")
+
 
 def q_pricing_summary(sf_dir: str):
     from bionext_ray.ops.relational import partial_final_agg
@@ -866,6 +1023,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "neardup_verified": q_neardup_verified,
         "pricing_summary": q_pricing_summary,
+        "priority_revenue": q_priority_revenue,
+        "customers_no_orders": q_customers_no_orders,
+        "events_running_total": q_events_running_total,
+        "events_hopping": q_events_hopping,
+        "pii_redact": q_pii_redact,
         "top_customers": q_top_customers,
         "orders_by_nation": q_orders_by_nation,
         "events_hourly": q_events_hourly,
@@ -1269,6 +1431,65 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-12-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "priority_revenue": """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_late,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS rev_units
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate
+            GROUP BY o.o_orderpriority
+        """,
+        "customers_no_orders": """
+            SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+                   COUNT(*) AS n_cust
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY c.c_nationkey
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_milli,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS rn
+            FROM events
+        """,
+        "events_hopping": """
+            SELECT event_type,
+                   ((epoch_us(ts) - i * 900000000)
+                        // 3600000000) * 3600000000 + i * 900000000
+                       AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_milli
+            FROM events, (SELECT unnest(range(4)) AS i)
+            GROUP BY event_type, window_start
+        """,
+        "pii_redact": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(coalesce(text, ''),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(
+                       regexp_replace(coalesce(text, ''),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{6,}')) AS BIGINT) AS n_longnums
+            FROM documents
         """,
         "top_customers": """
             SELECT c_custkey, c_name, total_cents, n_orders FROM (

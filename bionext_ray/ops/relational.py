@@ -502,3 +502,187 @@ def grouped_quantiles(ds, key_cols: list[str], col: str,
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def _key_buckets(arr, P: int):
+    """Run-internal bucket assignment for a key column (numpy array).
+    Integer keys bucket by abs(key) % P directly; everything else hashes
+    via pandas hash_array (stable within a run, which is all a shuffle
+    exchange needs — cross-run-stable ids use blake2b elsewhere)."""
+    import numpy as np
+    if np.issubdtype(arr.dtype, np.integer):
+        return (np.abs(arr.astype(np.int64)) % P).astype(np.int64)
+    from pandas.util import hash_array
+    return (hash_array(arr.astype(object)) % np.uint64(P)).astype(np.int64)
+
+
+def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
+                 right_cols: list[str], how: str = "inner",
+                 shuffle_partitions: int | None = None):
+    """Distributed hash (shuffle) join of two LARGE datasets on one key.
+
+    The big-big complement of ``broadcast_join`` (reference joins are all
+    broadcast dict lookups, SURVEY.md §2.4; a 100-TB fact x fact join cannot
+    broadcast either side): both inputs are union-tagged and co-located by
+    key-hash bucket in ONE groupby exchange; inside each bucket the match is
+    a single pandas C hash merge — no per-key Python. ``on`` is a key column
+    name, or a ``(left_key, right_key)`` pair when the names differ; the
+    output key column keeps the left name. Output columns:
+    [left_key] + left_cols + right_cols (must be disjoint). how: inner|left.
+
+    Skew caveat (documented partitioning assumption): one bucket holds ALL
+    rows of its keys; if a single hot key's rows exceed a worker's memory,
+    salt that key upstream and re-aggregate after (the A6 pattern).
+    """
+    import numpy as np
+    import pandas as pd
+
+    lkey, rkey = on if isinstance(on, tuple) else (on, on)
+    assert how in ("inner", "left")
+    assert not (set(left_cols) & set(right_cols))
+    P = max(16, shuffle_partitions or 0)
+
+    lsch = left_ds.schema().base_schema
+    rsch = right_ds.schema().base_schema
+    key_t = lsch.field(lkey).type
+    l_t = {c: lsch.field(c).type for c in left_cols}
+    r_t = {c: rsch.field(c).type for c in right_cols}
+    out_schema = pa.schema([(lkey, key_t)]
+                           + [(c, l_t[c]) for c in left_cols]
+                           + [(c, r_t[c]) for c in right_cols])
+
+    def tag(side: int, key_col, own_cols, other_types):
+        def fn(b: pa.Table) -> pa.Table:
+            key = pa.compute.cast(b[key_col], key_t)
+            karr = key.to_numpy(zero_copy_only=False)
+            cols = {"__bucket": pa.array(_key_buckets(karr, P), pa.int64()),
+                    "__side": pa.array(np.full(b.num_rows, side, np.int8)),
+                    "__key": key}
+            # canonical column order on BOTH sides of the union (left cols
+            # then right cols) so the unioned blocks share one schema
+            for c in left_cols + right_cols:
+                cols[c] = (b[c] if c in own_cols
+                           else pa.nulls(b.num_rows, type=other_types[c]))
+            return pa.table(cols)
+        return fn
+
+    tagged = (left_ds.select_columns([lkey] + left_cols)
+              .map_batches(tag(0, lkey, left_cols, r_t),
+                           batch_format="pyarrow")
+              .union(right_ds.select_columns([rkey] + right_cols)
+                     .map_batches(tag(1, rkey, right_cols, l_t),
+                                  batch_format="pyarrow")))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        l = df[df["__side"] == 0][["__key"] + left_cols]
+        r = df[df["__side"] == 1][["__key"] + right_cols]
+        m = l.merge(r, on="__key", how=how)
+        m = m.rename(columns={"__key": lkey})
+        # explicit schema per bucket: an empty/all-null side must not flip
+        # a column's dtype (pandas NaN promotion) between buckets
+        return pa.Table.from_pandas(m[[f.name for f in out_schema]],
+                                    schema=out_schema, preserve_index=False)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket,
+                                                 batch_format="pyarrow")
+
+
+def anti_join_filter(big_ds, keys, key_col: str, batch_size: int = 8192):
+    """Anti-join: keep rows whose key is NOT in the broadcast key set
+    (NOT EXISTS semantics). Mirror of semi_join_filter — the key set is
+    ray.put once and read zero-copy per actor; for an anti-join where the
+    right side is itself huge, run shuffle_join(how='left') and filter the
+    null matches instead."""
+    ref = ray.put(sorted(keys))
+
+    class FilterFn:
+        def __init__(self):
+            self.value_set = pa.array(ray.get(ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.is_in(batch[key_col],
+                            value_set=self.value_set.cast(
+                                batch.schema.field(key_col).type))
+            return batch.filter(pc.invert(mask))
+
+    return big_ds.map_batches(FilterFn, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=actor_pool_size())
+
+
+def running_agg(ds, key_col: str, order_cols: list[str], val_col: str,
+                alias: str, row_number_alias: str | None = None,
+                shuffle_partitions: int | None = None):
+    """Per-key running sum — the window function
+    ``SUM(val) OVER (PARTITION BY key ORDER BY order_cols)`` — plus an
+    optional ``ROW_NUMBER()`` column, distributed.
+
+    ONE bucketed exchange co-locates each key's rows (any exact running
+    aggregate must see its whole partition in order); inside a bucket ALL
+    keys are handled by one vectorized pass: sort by (key, order), a single
+    grouped cumsum / cumcount — never per-key Python. Output = input columns
+    + alias (+ row_number_alias). Ties in order_cols follow the sort order,
+    so pass a unique tiebreaker column for deterministic output (same
+    requirement as the SQL window frame)."""
+    import numpy as np
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        karr = b[key_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__bucket", pa.array(_key_buckets(karr, P), pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket")
+             .sort_values([key_col] + order_cols, kind="mergesort")
+             .reset_index(drop=True))
+        grouped = g.groupby(key_col, sort=False)[val_col]
+        g[alias] = grouped.cumsum()
+        if row_number_alias is not None:
+            g[row_number_alias] = grouped.cumcount() + 1
+        return g
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def hopping_window(events_ds, key_col: str, ts_col: str, width_s: int,
+                   hop_s: int, specs: list[tuple[str, str, str]],
+                   shuffle_partitions: int | None = 16):
+    """Hopping (sliding) event-time windows: width_s-wide windows every
+    hop_s seconds, so each event lands in width_s/hop_s overlapping windows.
+
+    The fan-out is vectorized in map_batches (np.repeat over the batch, one
+    window-start formula per hop offset — the unique window with start
+    ≡ k*hop (mod width) containing t is floor((t-k*hop)/width)*width+k*hop),
+    then the same partial+final aggregate as tumbling_window over
+    (key, window_start). Output scales by the overlap factor — that is the
+    operator's semantics, not a leak."""
+    import numpy as np
+
+    assert width_s % hop_s == 0
+    k = width_s // hop_s
+    width_us = np.int64(width_s) * 1_000_000
+    hop_us = np.int64(hop_s) * 1_000_000
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        epoch = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(epoch)
+        idx = np.repeat(np.arange(n), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        t = epoch[idx]
+        ws = (t - offs) // width_us * width_us + offs
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column(
+            "window_start", pa.array(ws, pa.int64()))
+
+    fanned = events_ds.map_batches(fan_out, batch_format="pyarrow")
+    return partial_final_agg(fanned, [key_col, "window_start"], specs,
+                             shuffle_partitions=shuffle_partitions)

@@ -376,3 +376,33 @@ def tfidf_top_terms(documents_ds, n_docs: int, k: int = 3,
     return grouped_topk(scored, ["doc_id"], "score", k=k,
                         descending=True, tiebreak_cols=["term"],
                         shuffle_partitions=shuffle_partitions)
+
+
+# PII-style patterns (RE2 syntax — pyarrow and DuckDB both run RE2, so the
+# SQL oracle uses the IDENTICAL pattern strings):
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{6,}"
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """Redact PII-shaped substrings (emails, >=6-digit number runs) with
+    fixed placeholder tokens, a standard pre-training scrub stage.
+
+    Pure Arrow RE2 column kernels (replace/count_substring_regex) — no
+    Python per row; at 100 TB this runs at regex-engine speed per batch.
+    Emails are replaced BEFORE number runs so a digit-heavy local-part is
+    attributed to the email rule (mirrored in the SQL oracle's nesting).
+    Output: doc_id, clean_text, n_emails, n_longnums."""
+    import pyarrow.compute as pc
+    text = pc.coalesce(batch["text"], "")
+    n_email = pc.cast(pc.count_substring_regex(text, PII_EMAIL_RE), pa.int64())
+    no_email = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+    n_num = pc.cast(pc.count_substring_regex(no_email, PII_LONGNUM_RE),
+                    pa.int64())
+    clean = pc.replace_substring_regex(no_email, PII_LONGNUM_RE, "<NUM>")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "clean_text": clean,
+        "n_emails": n_email,
+        "n_longnums": n_num,
+    })
