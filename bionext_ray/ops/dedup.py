@@ -541,12 +541,18 @@ def verify_jaccard_pairs(documents_ds, candidate_pairs, threshold: float = 0.8,
                              "id_b": pd.Series(out_b, dtype="int64"),
                              "jaccard_micro": pd.Series(out_j, dtype="int64")})
 
-    with_a = (pairs_ds.map_batches(tag_pairs("id_a"), batch_format="pyarrow")
-              .union(texts_ds.map_batches(tag_texts, batch_format="pyarrow"))
+    from bionext_ray.ops.relational import coalesce_for_exchange
+    with_a = (coalesce_for_exchange(
+                  pairs_ds.map_batches(tag_pairs("id_a"),
+                                       batch_format="pyarrow")
+                  .union(texts_ds.map_batches(tag_texts,
+                                              batch_format="pyarrow")), P)
               .groupby("__bucket")
               .map_groups(join_a, batch_format="pandas"))
-    return (with_a.map_batches(tag_pairs("id_b"), batch_format="pyarrow")
-            .union(texts_ds.map_batches(tag_texts, batch_format="pyarrow"))
+    return (coalesce_for_exchange(
+                with_a.map_batches(tag_pairs("id_b"), batch_format="pyarrow")
+                .union(texts_ds.map_batches(tag_texts,
+                                            batch_format="pyarrow")), P)
             .groupby("__bucket")
             .map_groups(join_b_verify, batch_format="pandas"))
 

@@ -129,8 +129,11 @@ def span_prf(pred_ds, gold_ds, n_docs: int, n_classes: int = 6,
             doc[col] = doc[col] // n_classes
         return doc[["tp", "fn", "fp", "sp", "sr", "sf"]].astype("int64")
 
-    per_doc = (pred_ds.map_batches(tag(0), batch_format="pyarrow")
-               .union(gold_ds.map_batches(tag(1), batch_format="pyarrow"))
+    from bionext_ray.ops.relational import coalesce_for_exchange
+    per_doc = (coalesce_for_exchange(
+                   pred_ds.map_batches(tag(0), batch_format="pyarrow")
+                   .union(gold_ds.map_batches(tag(1),
+                                              batch_format="pyarrow")), P)
                .groupby("__bucket")
                .map_groups(per_bucket, batch_format="pandas"))
 

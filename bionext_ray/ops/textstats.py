@@ -369,8 +369,11 @@ def tfidf_top_terms(documents_ds, n_docs: int, k: int = 3,
             "score": pa.array(tf * (idf_scale // df), pa.int64()),
         })
 
-    scored = (tf_rows.map_batches(tag(0), batch_format="pyarrow")
-              .union(df_rows.map_batches(tag(1), batch_format="pyarrow"))
+    from bionext_ray.ops.relational import coalesce_for_exchange
+    scored = (coalesce_for_exchange(
+                  tf_rows.map_batches(tag(0), batch_format="pyarrow")
+                  .union(df_rows.map_batches(tag(1),
+                                             batch_format="pyarrow")), P)
               .groupby("__bucket")
               .map_groups(score_bucket, batch_format="pyarrow"))
     return grouped_topk(scored, ["doc_id"], "score", k=k,
