@@ -536,6 +536,47 @@ def q_pii_redact(sf_dir: str):
         redact_pii_batch, batch_format="pyarrow")
 
 
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over (priority, status): the input is scanned once;
+    each shallower level re-aggregates the previous level's tiny result
+    (sums of sums, counts as sums)."""
+    from bionext_ray.ops.relational import rollup_agg
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "cents")
+        return b.select(["o_orderpriority", "o_orderstatus", "cents"])
+
+    return rollup_agg(orders.map_batches(prep, batch_format="pyarrow"),
+                      ["o_orderpriority", "o_orderstatus"],
+                      [("cents", "sum", "total_cents"),
+                       ("cents", "count", "n_orders")])
+
+
+def q_pagerank(sf_dir: str):
+    """Integer PageRank (3 fixed iterations, damping 85/100, ranks scaled
+    1e9) over a deterministic edge table derived from lineitem
+    (l_orderkey%997 -> l_partkey%997). Composed entirely from this repo's
+    distributed primitives — shuffle_join per iteration for rank x degree
+    and edge x rate, partial+final agg for contributions — with floor
+    division at every step so the unrolled-CTE DuckDB oracle matches
+    bit-for-bit."""
+    from bionext_ray.ops.graph import pagerank
+    from bionext_ray.ops.relational import estimate_partitions
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        src = b["l_orderkey"].to_numpy(zero_copy_only=False) % 997
+        dst = b["l_partkey"].to_numpy(zero_copy_only=False) % 997
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    sp = estimate_partitions(f"{sf_dir}/lineitem.parquet")
+    return pagerank(li.map_batches(edges, batch_format="pyarrow"),
+                    iters=3, shuffle_partitions=sp)
+
+
 def q_pricing_summary(sf_dir: str):
     from bionext_ray.ops.relational import partial_final_agg
     ds = _read(sf_dir, "lineitem",
@@ -1023,6 +1064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "neardup_verified": q_neardup_verified,
         "pricing_summary": q_pricing_summary,
+        "pagerank": q_pagerank,
+        "orders_rollup": q_orders_rollup,
         "priority_revenue": q_priority_revenue,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
@@ -1061,6 +1104,34 @@ def oracle_sql() -> dict[str, str]:
         for k, v in CODON_AMINO.items():
             expr = f"replace({expr}, '{k}', '{v}')"
         return expr
+
+    def _pagerank_sql(iters: int = 3) -> str:
+        """Unroll the integer PageRank recurrence (ops/graph.py::pagerank:
+        base = SCALE//N, rank' = (15*base)//100 + (85*contrib)//100, floor
+        division throughout) as chained CTEs."""
+        base = "(1000000000 // (SELECT n FROM params))"
+        ctes = [
+            "edges AS (SELECT DISTINCT l_orderkey % 997 AS src, "
+            "l_partkey % 997 AS dst FROM lineitem)",
+            "nodes AS (SELECT src AS v FROM edges "
+            "UNION SELECT dst AS v FROM edges)",
+            "deg AS (SELECT src AS v, COUNT(*) AS deg "
+            "FROM edges GROUP BY src)",
+            "params AS (SELECT (SELECT COUNT(*) FROM nodes) AS n)",
+            f"pr0 AS (SELECT v, CAST({base} AS BIGINT) AS pr FROM nodes)",
+        ]
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"pr{i} AS (SELECT nd.v, CAST((15 * {base}) // 100"
+                f" + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS pr"
+                f" FROM nodes nd LEFT JOIN ("
+                f"SELECT e.dst AS v, CAST(SUM(p.pr // d.deg) AS BIGINT)"
+                f" AS contrib FROM edges e"
+                f" JOIN pr{i - 1} p ON e.src = p.v"
+                f" JOIN deg d ON e.src = d.v"
+                f" GROUP BY e.dst) c ON nd.v = c.v)")
+        return ("WITH " + ", ".join(ctes)
+                + f" SELECT v AS node, pr AS pr_scaled FROM pr{iters}")
 
     def _gene_lookup_values() -> str:
         from bionext_ray.kb import default_kb
@@ -1431,6 +1502,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-12-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "pagerank": _pagerank_sql(3),
+        "orders_rollup": """
+            SELECT COALESCE(o_orderpriority, '*ALL*') AS o_orderpriority,
+                   COALESCE(o_orderstatus, '*ALL*') AS o_orderstatus,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "priority_revenue": """
             SELECT o.o_orderpriority,

@@ -52,7 +52,8 @@ def _run_bench() -> dict:
         "events_last_order", "events_followups", "events_quantiles",
         "top_docs_per_lang", "token_count", "lang_id", "fingerprint",
         "sample_documents", "tfidf_top_terms", "image_features",
-        "distinct_users_kmv",
+        "distinct_users_kmv", "priority_revenue", "events_running_total",
+        "pagerank", "pii_redact",
     ]
 
     per_query = {}

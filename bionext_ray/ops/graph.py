@@ -1,0 +1,167 @@
+"""Distributed graph analytics over an edge table.
+
+The north rule ends in "graph materialization" (BASELINE.json): triples
+become partitioned adjacency tables. These operators answer the questions a
+user asks of that graph — degree distributions and PageRank centrality —
+composed from this repo's own distributed primitives (shuffle_join,
+partial_final_agg), so every exchange is an already-audited pattern:
+
+- all arithmetic is INTEGER (ranks scaled by 1e9, floor division at every
+  step), so results are bit-reproducible at any parallelism and an ANSI-SQL
+  oracle can mirror them exactly;
+- each PageRank iteration is three bucketed exchanges (rank x degree join,
+  edge x rate join, contribution aggregate) — the same shape a vertex-
+  centric engine (Pregel) runs, expressed as Ray Data dataflow;
+- dangling nodes (no out-edges) keep base rank only; their lost mass is NOT
+  redistributed (documented choice, mirrored in the oracle).
+
+Companion to ops/dedup.py::connected_components (min-label propagation),
+which covers the component-labelling side of graph analytics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCALE = 1_000_000_000
+
+
+def distinct_edges(edges_ds, src: str = "src", dst: str = "dst",
+                   shuffle_partitions: int | None = None):
+    """Distinct (src, dst) pairs: per-block combine then one grouped pass
+    (the exact-dedup pattern — only per-block uniques cross the exchange)."""
+    from bionext_ray.ops.relational import partial_final_agg
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table({
+            src: pa.compute.cast(b[src], pa.int64()),
+            dst: pa.compute.cast(b[dst], pa.int64()),
+            "_c": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64()),
+        })
+
+    agg = partial_final_agg(edges_ds.map_batches(one, batch_format="pyarrow"),
+                            [src, dst], [("_c", "sum", "_c")],
+                            shuffle_partitions=shuffle_partitions)
+    return agg.select_columns([src, dst])
+
+
+def node_table(edges_ds, src: str = "src", dst: str = "dst",
+               shuffle_partitions: int | None = None):
+    """Distinct nodes appearing as src or dst (per-block unique reduction,
+    one grouped pass). Output column: v."""
+    from bionext_ray.ops.relational import partial_final_agg
+
+    def verts(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b[src].to_numpy(zero_copy_only=False).astype(np.int64),
+            b[dst].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "_c": pa.array(np.ones(len(u), np.int64))})
+
+    agg = partial_final_agg(edges_ds.map_batches(verts,
+                                                 batch_format="pyarrow"),
+                            ["v"], [("_c", "sum", "_c")],
+                            shuffle_partitions=shuffle_partitions)
+    return agg.select_columns(["v"])
+
+
+def out_degrees(edges_ds, src: str = "src",
+                shuffle_partitions: int | None = None):
+    """Out-degree per source node (partial+final count). Output: v, deg."""
+    from bionext_ray.ops.relational import partial_final_agg
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pa.compute.cast(b[src], pa.int64()),
+            "_c": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64()),
+        })
+
+    return partial_final_agg(edges_ds.map_batches(one,
+                                                  batch_format="pyarrow"),
+                             ["v"], [("_c", "sum", "deg")],
+                             shuffle_partitions=shuffle_partitions)
+
+
+def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
+             shuffle_partitions: int | None = None):
+    """Integer PageRank over a DISTINCT edge table, ``iters`` fixed
+    iterations (no convergence test — bit-deterministic work for the oracle).
+
+    rank_0(v)   = SCALE // N
+    rate(u)     = rank_i(u) // deg(u)                 (per out-edge share)
+    contrib(v)  = sum over in-edges (u, v) of rate(u)
+    rank_{i+1}(v) = ((100 - d) * (SCALE // N)) // 100 + (d * contrib) // 100
+
+    Every step floor-divides, so a DuckDB oracle with the same unrolled
+    expressions matches bit-for-bit. Returns (node, pr_scaled).
+
+    Scale shape: per iteration, ONE rank x degree join (node-keyed), ONE
+    edge x rate join (src-keyed, the big exchange — edges dominate), ONE
+    contribution aggregate (dst-keyed partial+final). Rank state is one row
+    per node, never driver-resident; iterating materializes each round's
+    ranks to keep the lineage flat (the connected_components lesson —
+    unioned lazy graphs compound block counts round over round).
+    """
+    from bionext_ray.ops.relational import partial_final_agg, shuffle_join
+
+    edges = distinct_edges(edges_ds,
+                           shuffle_partitions=shuffle_partitions)
+    edges = edges.materialize()          # reused every iteration
+    nodes = node_table(edges, shuffle_partitions=shuffle_partitions)
+    deg = out_degrees(edges, shuffle_partitions=shuffle_partitions)
+    deg = deg.materialize()              # reused every iteration
+    n_nodes = nodes.count()
+    base = SCALE // n_nodes
+    base_term = ((100 - damping_pct) * base) // 100
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": b["v"],
+            "pr": pa.array(np.full(b.num_rows, base, np.int64), pa.int64()),
+        })
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # per-source share: rank//deg (nodes without out-edges drop out —
+        # they contribute nothing, exactly the dangling-mass choice above)
+        rated = shuffle_join(ranks, deg, on=("v", "v"),
+                             left_cols=["pr"], right_cols=["deg"],
+                             shuffle_partitions=shuffle_partitions)
+
+        def rate(b: pa.Table) -> pa.Table:
+            pr = b["pr"].to_numpy(zero_copy_only=False)
+            d = b["deg"].to_numpy(zero_copy_only=False)
+            return pa.table({"v": b["v"],
+                             "rate": pa.array(pr // d, pa.int64())})
+
+        per_edge = shuffle_join(edges, rated.map_batches(
+                                    rate, batch_format="pyarrow"),
+                                on=("src", "v"), left_cols=["dst"],
+                                right_cols=["rate"],
+                                shuffle_partitions=shuffle_partitions)
+        contrib = partial_final_agg(
+            per_edge.select_columns(["dst", "rate"]),
+            ["dst"], [("rate", "sum", "contrib")],
+            shuffle_partitions=shuffle_partitions)
+        # next rank over ALL nodes (left join keeps zero-in-degree nodes)
+        nxt = shuffle_join(ranks.select_columns(["v"]), contrib,
+                           on=("v", "dst"), left_cols=[],
+                           right_cols=["contrib"], how="left",
+                           shuffle_partitions=shuffle_partitions)
+
+        def step(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            c = pc.coalesce(b["contrib"], pa.scalar(0, pa.int64()))
+            c = c.to_numpy(zero_copy_only=False)
+            pr = base_term + (damping_pct * c) // 100
+            return pa.table({"v": b["v"],
+                             "pr": pa.array(pr, pa.int64())})
+
+        ranks = nxt.map_batches(step, batch_format="pyarrow").materialize()
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["v"], "pr_scaled": b["pr"]})
+
+    return ranks.map_batches(shape, batch_format="pyarrow")

@@ -704,3 +704,62 @@ def hopping_window(events_ds, key_col: str, ts_col: str, width_s: int,
     fanned = events_ds.map_batches(fan_out, batch_format="pyarrow")
     return partial_final_agg(fanned, [key_col, "window_start"], specs,
                              shuffle_partitions=shuffle_partitions)
+
+
+def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
+               shuffle_partitions: int | None = 16, fill: str = "*ALL*"):
+    """GROUP BY ROLLUP: aggregates at every key-prefix level (full keys,
+    then dropping the trailing key per level, down to the grand total).
+
+    The input is scanned ONCE: the deepest level runs partial_final_agg over
+    the raw rows, and each shallower level RE-AGGREGATES the previous
+    level's (already tiny) result — sums of sums, min of mins, max of maxes,
+    counts re-aggregate as sums. ``mean`` is not re-aggregable this way and
+    is rejected. Dropped key columns are filled with ``fill`` (SQL ROLLUP
+    emits NULL there; the oracle mirrors with COALESCE), so keys must be
+    string-typed. Output rows = sum over levels of that level's group count.
+    """
+    assert all(f in ("sum", "min", "max", "count") for _, f, _ in specs), \
+        "rollup_agg re-aggregates levels; mean is not decomposable"
+    # specs over a level's output columns: count re-aggregates as sum
+    respec = [(alias, "sum" if f == "count" else f, alias)
+              for _, f, alias in specs]
+
+    def pad(prefix):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (b[k] if k in prefix
+                           else pa.array([fill] * b.num_rows, pa.string()))
+            for _, _, a in specs:
+                cols[a] = b[a]
+            return pa.table(cols)
+        return fn
+
+    levels = []
+    cur = partial_final_agg(ds, keys, specs,
+                            shuffle_partitions=shuffle_partitions)
+    # the upper levels re-aggregate cur's (tiny) rows repeatedly
+    cur = cur.materialize()
+    levels.append(cur.map_batches(pad(tuple(keys)), batch_format="pyarrow"))
+    for depth in range(len(keys) - 1, -1, -1):
+        prefix = keys[:depth]
+        if prefix:
+            cur = partial_final_agg(cur, prefix, respec,
+                                    shuffle_partitions=shuffle_partitions)
+            cur = cur.materialize()
+        else:
+            # grand total: single global aggregate over the level-1 rows
+            from ray.data.aggregate import Max, Min, Sum
+            aggs = {"sum": Sum, "min": Min, "max": Max}
+            row = cur.aggregate(*[aggs[f](a, alias_name=a)
+                                  for _, f, a in respec]) or {}
+            cur = ray.data.from_arrow(pa.table(
+                {a: pa.array([row.get(a)], pa.int64())
+                 for _, _, a in respec}))
+        levels.append(cur.map_batches(pad(tuple(prefix)),
+                                      batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -128,3 +128,72 @@ def test_redact_pii_batch():
     ]
     assert out["n_emails"].to_pylist() == [1, 0, 0]
     assert out["n_longnums"].to_pylist() == [1, 0, 0]
+
+
+def _int_pagerank_ref(edges, iters=3, scale=1_000_000_000, d=85):
+    """Plain-Python mirror of ops/graph.py::pagerank's integer recurrence."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    base = scale // n
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    pr = {v: base for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += pr[u] // deg[u]
+        pr = {v: ((100 - d) * base) // 100 + (d * contrib[v]) // 100
+              for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_reference_recurrence(ray_session):
+    from bionext_ray.ops.graph import pagerank
+    raw = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (0, 1)]  # dup edge
+    ds = _ds({"src": pa.array([u for u, _ in raw], pa.int64()),
+              "dst": pa.array([v for _, v in raw], pa.int64())})
+    got = pagerank(ds, iters=3).to_pandas().set_index("node")[
+        "pr_scaled"].to_dict()
+    assert got == _int_pagerank_ref(raw)
+
+
+def test_pagerank_sink_node_keeps_base_rank(ray_session):
+    """A node with no in-edges ends at the base term; a sink (no out-edges)
+    still accumulates rank but leaks its mass (documented choice)."""
+    from bionext_ray.ops.graph import pagerank
+    ds = _ds({"src": pa.array([0, 1], pa.int64()),
+              "dst": pa.array([1, 2], pa.int64())})
+    got = pagerank(ds, iters=2).to_pandas().set_index("node")[
+        "pr_scaled"].to_dict()
+    assert got == _int_pagerank_ref([(0, 1), (1, 2)], iters=2)
+    base = 1_000_000_000 // 3
+    assert got[0] == (15 * base) // 100  # no in-edges -> base term only
+
+
+def test_rollup_matches_pandas(ray_session):
+    from bionext_ray.ops.relational import rollup_agg
+    rng = np.random.default_rng(11)
+    a = rng.choice(list("xyz"), 200)
+    b = rng.choice(list("pq"), 200)
+    v = rng.integers(0, 100, 200)
+    ds = _ds({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+              "v": pa.array(v, pa.int64())})
+    got = (rollup_agg(ds, ["a", "b"], [("v", "sum", "sv"),
+                                       ("v", "count", "nv")])
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    df = pd.DataFrame({"a": a, "b": b, "v": v})
+    lv2 = df.groupby(["a", "b"]).agg(sv=("v", "sum"),
+                                     nv=("v", "count")).reset_index()
+    lv1 = df.groupby(["a"]).agg(sv=("v", "sum"),
+                                nv=("v", "count")).reset_index()
+    lv1["b"] = "*ALL*"
+    lv0 = pd.DataFrame({"a": ["*ALL*"], "b": ["*ALL*"],
+                        "sv": [v.sum()], "nv": [200]})
+    want = (pd.concat([lv2, lv1, lv0], ignore_index=True)
+            [["a", "b", "sv", "nv"]]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"sv": "int64", "nv": "int64"}),
+        want.astype({"sv": "int64", "nv": "int64"}))
