@@ -554,15 +554,9 @@ def q_orders_rollup(sf_dir: str):
                        ("cents", "count", "n_orders")])
 
 
-def q_pagerank(sf_dir: str):
-    """Integer PageRank (3 fixed iterations, damping 85/100, ranks scaled
-    1e9) over a deterministic edge table derived from lineitem
-    (l_orderkey%997 -> l_partkey%997). Composed entirely from this repo's
-    distributed primitives — shuffle_join per iteration for rank x degree
-    and edge x rate, partial+final agg for contributions — with floor
-    division at every step so the unrolled-CTE DuckDB oracle matches
-    bit-for-bit."""
-    from bionext_ray.ops.graph import pagerank
+def _lineitem_edges(sf_dir: str):
+    """Deterministic graph-analytics edge table shared by the graph queries:
+    (l_orderkey%997 -> l_partkey%997) per lineitem row."""
     from bionext_ray.ops.relational import estimate_partitions
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -573,8 +567,139 @@ def q_pagerank(sf_dir: str):
                          "dst": pa.array(dst, pa.int64())})
 
     sp = estimate_partitions(f"{sf_dir}/lineitem.parquet")
-    return pagerank(li.map_batches(edges, batch_format="pyarrow"),
-                    iters=3, shuffle_partitions=sp)
+    return li.map_batches(edges, batch_format="pyarrow"), sp
+
+
+def q_degree_dist(sf_dir: str):
+    """Out-degree histogram of the distinct lineitem-derived edge graph."""
+    from bionext_ray.ops.graph import degree_distribution
+    edges, sp = _lineitem_edges(sf_dir)
+    return degree_distribution(edges, shuffle_partitions=sp)
+
+
+def q_triangles(sf_dir: str):
+    """Triangle count of the undirected simple graph over the same edges
+    (degree-ordered node-iterator: wedge self-join + composite-key closing
+    join — the multi-key shuffle_join path's oracle gate)."""
+    from bionext_ray.ops.graph import triangle_count
+    edges, sp = _lineitem_edges(sf_dir)
+    return triangle_count(edges, shuffle_partitions=sp)
+
+
+def q_custkeys_no_orders_setop(sf_dir: str):
+    """EXCEPT DISTINCT: custkeys with no order since 2001-01-01 (the
+    `customers_no_orders` dormancy cutoff) — the big-big distributed
+    complement of that query's broadcast anti-join. One grouped exchange
+    over per-block-distinct keys; neither side is driver-resident."""
+    import pyarrow.compute as pc
+
+    from bionext_ray.ops.relational import set_op
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow")
+
+    def recent(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(
+            b["o_orderdate"],
+            pa.scalar(np.datetime64("2001-01-01", "us"))))
+        return pa.table({"custkey": pc.cast(b["o_custkey"], pa.int64())})
+
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        recent, batch_format="pyarrow")
+    return set_op(cust, ords, ["custkey"], "except")
+
+
+def q_nations_both_sides(sf_dir: str):
+    """INTERSECT DISTINCT: nations having both customers and suppliers."""
+    from bionext_ray.ops.relational import set_op
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow")
+    return set_op(cust, supp, ["nationkey"], "intersect")
+
+
+def q_pack_chunks(sf_dir: str):
+    """GPT-style concat-and-chunk sequence packing placement over the
+    documents table: token-count (oracle-shared RE2 kernel) -> shard by
+    doc_id mod 64 -> running sum in id order -> 512-token window ids.
+    Oracle mirrors with SUM() OVER (PARTITION BY shard ORDER BY doc_id)."""
+    from bionext_ray.ops.packing import pack_concat_chunks
+    from bionext_ray.ops.relational import estimate_partitions
+    from bionext_ray.ops.textstats import token_count_batch
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(token_count_batch, batch_format="pyarrow")
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    return pack_concat_chunks(toks, chunk_tokens=512, n_shards=64,
+                              shuffle_partitions=sp)
+
+
+def q_pack_bins(sf_dir: str):
+    """Next-fit no-straddle bin packing placement (rows-only: the
+    reset-on-overflow recurrence is not a closed-form window function;
+    pinned by tests/test_packing.py against a plain-Python reference)."""
+    from bionext_ray.ops.packing import pack_bins_nextfit
+    from bionext_ray.ops.relational import estimate_partitions
+    from bionext_ray.ops.textstats import token_count_batch
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.map_batches(token_count_batch, batch_format="pyarrow")
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    return pack_bins_nextfit(toks, chunk_tokens=512, n_shards=64,
+                             shuffle_partitions=sp)
+
+
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE over (priority, status): all four grouping subsets,
+    raw rows scanned once."""
+    from bionext_ray.ops.relational import cube_agg
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "cents")
+        return b.select(["o_orderpriority", "o_orderstatus", "cents"])
+
+    return cube_agg(orders.map_batches(prep, batch_format="pyarrow"),
+                    ["o_orderpriority", "o_orderstatus"],
+                    [("cents", "sum", "total_cents"),
+                     ("cents", "count", "n_orders")])
+
+
+def q_kg_pagerank(sf_dir: str):
+    """PageRank centrality over the KG itself: canonical triples become
+    (subj -> obj) edges (entity ids hashed to int64 nodes), then the
+    oracle-proven integer pagerank runs 3 iterations. The flagship
+    graph-materialization output feeding graph analytics end-to-end.
+    Rows-only check (the KG derivation is model-stage output); the
+    pagerank recurrence itself is SQL-gated by the `pagerank` query."""
+    from bionext_ray.ops.graph import pagerank
+    canon = _kg_stages(sf_dir)["canonical"]
+
+    def edges(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        def h(col):
+            return np.array(
+                [int.from_bytes(hashlib.blake2b(
+                    s.encode(), digest_size=8).digest(), "big") >> 1
+                 for s in col.to_pylist()], np.int64)
+        return pa.table({"src": pa.array(h(b["subj"]), pa.int64()),
+                         "dst": pa.array(h(b["obj"]), pa.int64())})
+
+    return pagerank(canon.map_batches(edges, batch_format="pyarrow"),
+                    iters=3)
+
+
+def q_pagerank(sf_dir: str):
+    """Integer PageRank (3 fixed iterations, damping 85/100, ranks scaled
+    1e9) over a deterministic edge table derived from lineitem
+    (l_orderkey%997 -> l_partkey%997). Composed entirely from this repo's
+    distributed primitives — shuffle_join per iteration for rank x degree
+    and edge x rate, partial+final agg for contributions — with floor
+    division at every step so the unrolled-CTE DuckDB oracle matches
+    bit-for-bit."""
+    from bionext_ray.ops.graph import pagerank
+    edges, sp = _lineitem_edges(sf_dir)
+    return pagerank(edges, iters=3, shuffle_partitions=sp)
 
 
 def q_pricing_summary(sf_dir: str):
@@ -934,6 +1059,49 @@ def q_distinct_users_kmv(sf_dir: str):
                         "user_id", k=64)
 
 
+def q_top_tokens(sf_dir: str):
+    """Corpus-wide word-frequency top-20 (the canonical word count, with a
+    distributed exact top-k tail): occurrence rows never leave the task —
+    each batch emits its own (word, count) combine; one grouped exchange
+    sums them; then ≤20 rows per block reach the driver for the final head.
+    Ties break (count DESC, word ASC) on both sides."""
+    import pyarrow.compute as pc
+
+    from bionext_ray.ops.relational import partial_final_agg
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(
+            pc.utf8_lower(pc.coalesce(b["text"], "")), " "))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"w": words}).group_by(["w"]).aggregate([("w", "count")])
+        return pa.table({"w": g["w"],
+                         "n": pc.cast(g["w_count"], pa.int64())})
+
+    counts = partial_final_agg(
+        docs.map_batches(word_counts, batch_format="pyarrow"),
+        ["w"], [("n", "sum", "n")])
+
+    def local_top(b):
+        return b.sort_values(["n", "w"], ascending=[False, True]).head(20)
+
+    partials = counts.map_batches(local_top, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["n", "w"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Per-event-type KMV distinct-user sketch (k=64): ≤k int64 hashes per
+    (group, block) cross the exchange; estimator mirrored in SQL with a
+    PARTITION BY, so the oracle is exact on the estimate path too."""
+    from bionext_ray.ops.relational import estimate_partitions
+    from bionext_ray.ops.sketch import kmv_distinct_grouped
+    sp = estimate_partitions(f"{sf_dir}/events.parquet")
+    return kmv_distinct_grouped(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", k=64, shuffle_partitions=sp)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-3 terms per doc by tf-idf (integer idf): corpus DF shuffle +
     bucketed term join + grouped top-k, SQL-verified end to end."""
@@ -1065,7 +1233,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_verified": q_neardup_verified,
         "pricing_summary": q_pricing_summary,
         "pagerank": q_pagerank,
+        "kg_pagerank": q_kg_pagerank,
+        "degree_dist": q_degree_dist,
+        "triangles": q_triangles,
+        "custkeys_no_orders_setop": q_custkeys_no_orders_setop,
+        "nations_both_sides": q_nations_both_sides,
         "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
+        "pack_chunks": q_pack_chunks,
+        "pack_bins": q_pack_bins,
         "priority_revenue": q_priority_revenue,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
@@ -1084,6 +1260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_top_terms": q_tfidf_top_terms,
         "distinct_users_kmv": q_distinct_users_kmv,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "top_tokens": q_top_tokens,
         "events_quantiles": q_events_quantiles,
         "stratified_sample": q_stratified_sample,
         "image_features": q_image_features,
@@ -1410,6 +1588,41 @@ def oracle_sql() -> dict[str, str]:
                    d < 64 AS is_exact
             FROM agg
         """,
+        "top_tokens": """
+            WITH words AS (
+                SELECT unnest(string_split(lower(COALESCE(text, '')),
+                                           ' ')) AS w
+                FROM documents
+            ), cnt AS (
+                SELECT w, COUNT(*) AS n FROM words
+                WHERE w <> '' GROUP BY w
+            )
+            SELECT w, n FROM cnt ORDER BY n DESC, w ASC LIMIT 20
+        """,
+        "distinct_users_by_type": """
+            WITH h AS (
+                SELECT DISTINCT event_type, CAST(CONCAT('0x',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                    AS hv
+                FROM events
+            ), ranked AS (
+                SELECT event_type, hv,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS rn
+                FROM h
+            ), agg AS (
+                SELECT event_type, COUNT(*) AS d,
+                       MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+                FROM ranked WHERE rn <= 64 GROUP BY event_type
+            )
+            SELECT event_type,
+                   CASE WHEN d < 64 THEN CAST(d AS BIGINT)
+                        ELSE CAST((CAST(63 AS HUGEINT) *
+                                   1152921504606846976) // hk AS BIGINT)
+                   END AS n_distinct_est,
+                   d < 64 AS is_exact
+            FROM agg
+        """,
         # integer-idf tf-idf: score = tf * ((1000000 * N) // df) — exact
         # integer math on both sides; ties break (score DESC, term ASC)
         "tfidf_top_terms": """
@@ -1504,6 +1717,63 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "pagerank": _pagerank_sql(3),
+        "degree_dist": """
+            WITH edges AS (SELECT DISTINCT l_orderkey % 997 AS src,
+                                           l_partkey % 997 AS dst
+                           FROM lineitem),
+                 deg AS (SELECT src, COUNT(*) AS deg
+                         FROM edges GROUP BY src)
+            SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg
+        """,
+        "triangles": """
+            WITH raw AS (SELECT DISTINCT l_orderkey % 997 AS u,
+                                         l_partkey % 997 AS v
+                         FROM lineitem),
+                 und AS (SELECT DISTINCT LEAST(u, v) AS a,
+                                         GREATEST(u, v) AS b
+                         FROM raw WHERE u <> v)
+            SELECT COUNT(*) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "custkeys_no_orders_setop": """
+            SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer
+            EXCEPT
+            SELECT CAST(o_custkey AS BIGINT) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        """,
+        "nations_both_sides": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        """,
+        "pack_chunks": """
+            WITH toks AS (
+                SELECT doc_id, doc_id % 64 AS shard,
+                       length(regexp_extract_all(COALESCE(text, ''),
+                                                 '[A-Za-z0-9_]+')) AS n
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, shard, n,
+                       SUM(n) OVER (PARTITION BY shard ORDER BY doc_id)
+                           AS cum
+                FROM toks
+            )
+            SELECT doc_id, shard,
+                   CAST(cum - n AS BIGINT) AS start_offset,
+                   CAST((cum - n) // 512 AS BIGINT) AS chunk_id
+            FROM cum
+        """,
+        "orders_cube": """
+            SELECT COALESCE(o_orderpriority, '*ALL*') AS o_orderpriority,
+                   COALESCE(o_orderstatus, '*ALL*') AS o_orderstatus,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
         "orders_rollup": """
             SELECT COALESCE(o_orderpriority, '*ALL*') AS o_orderpriority,
                    COALESCE(o_orderstatus, '*ALL*') AS o_orderstatus,

@@ -83,6 +83,141 @@ def out_degrees(edges_ds, src: str = "src",
                              shuffle_partitions=shuffle_partitions)
 
 
+def degree_distribution(edges_ds, src: str = "src", dst: str = "dst",
+                        shuffle_partitions: int | None = None):
+    """Out-degree histogram of the distinct-edge graph: (deg, n_nodes).
+
+    Two partial+final aggregates (node-keyed count, then degree-keyed
+    count) — the second input is one row per node with out-edges, already
+    tiny relative to the edge table, so the whole query is edge-scan bound.
+    """
+    from bionext_ray.ops.relational import partial_final_agg
+
+    deg = out_degrees(distinct_edges(edges_ds, src, dst,
+                                     shuffle_partitions=shuffle_partitions),
+                      shuffle_partitions=shuffle_partitions)
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table({"deg": b["deg"],
+                         "_c": pa.array(np.ones(b.num_rows, np.int64))})
+
+    return partial_final_agg(deg.map_batches(one, batch_format="pyarrow"),
+                             ["deg"], [("_c", "sum", "n_nodes")],
+                             shuffle_partitions=shuffle_partitions)
+
+
+def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
+                   shuffle_partitions: int | None = None):
+    """Count triangles in the UNDIRECTED simple graph induced by the edge
+    table (direction dropped, self-loops removed, duplicates collapsed).
+    Returns a one-row (n_triangles) table.
+
+    Degree-ordered node-iterator algorithm, composed from the repo's own
+    exchanges: orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one, self-join the oriented edges on source to
+    enumerate wedges, then close each wedge with a COMPOSITE-key
+    shuffle_join against the oriented edge set. Orientation bounds each
+    node's oriented out-degree by O(sqrt(m)) [Schank & Wagner 2005, the
+    standard node-iterator bound], so per-source wedge fan-out stays
+    bounded even on power-law webgraphs — the skew caveat a naive
+    src-grouped self-join would hit on hub nodes.
+
+    Exchanges: distinct (1), degree agg (1), degree attach (2 joins), wedge
+    self-join (1), closing composite join (1) — all bucketed, none
+    driver-resident; only the final COUNT collapses to one row.
+    """
+    from bionext_ray.ops.relational import partial_final_agg, shuffle_join
+
+    # canonical undirected edges: (lo, hi), self-loops dropped
+    def undirect(b: pa.Table) -> pa.Table:
+        u = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"src": pa.array(np.minimum(u, v), pa.int64()),
+                         "dst": pa.array(np.maximum(u, v), pa.int64())})
+
+    und = distinct_edges(edges_ds.map_batches(undirect,
+                                              batch_format="pyarrow"),
+                         shuffle_partitions=shuffle_partitions).materialize()
+
+    # undirected degree: each edge counts at both endpoints
+    def both_ends(b: pa.Table) -> pa.Table:
+        vs = np.concatenate([b["src"].to_numpy(zero_copy_only=False),
+                             b["dst"].to_numpy(zero_copy_only=False)])
+        return pa.table({"v": pa.array(vs.astype(np.int64), pa.int64()),
+                         "_c": pa.array(np.ones(len(vs), np.int64))})
+
+    deg = partial_final_agg(und.map_batches(both_ends,
+                                            batch_format="pyarrow"),
+                            ["v"], [("_c", "sum", "deg")],
+                            shuffle_partitions=shuffle_partitions)
+
+    withdeg = shuffle_join(und, deg, on=("src", "v"), left_cols=["dst"],
+                           right_cols=["deg"],
+                           shuffle_partitions=shuffle_partitions)
+    withdeg = shuffle_join(withdeg.map_batches(
+                               lambda b: b.rename_columns(
+                                   ["src", "dst", "deg_src"]),
+                               batch_format="pyarrow"),
+                           deg, on=("dst", "v"),
+                           left_cols=["src", "deg_src"], right_cols=["deg"],
+                           shuffle_partitions=shuffle_partitions)
+
+    # orient lower (deg, id) -> higher (deg, id); total order, no ties
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        ds_ = b["deg_src"].to_numpy(zero_copy_only=False)
+        dd = b["deg"].to_numpy(zero_copy_only=False)
+        fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        a = np.where(fwd, s, d)
+        c = np.where(fwd, d, s)
+        ra = np.where(fwd, ds_, dd).astype(np.int64)
+        rc = np.where(fwd, dd, ds_).astype(np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(c, pa.int64()),
+                         "rank_a": pa.array(ra, pa.int64()),
+                         "rank_b": pa.array(rc, pa.int64())})
+
+    oriented = withdeg.map_batches(orient, batch_format="pyarrow")
+    oriented = oriented.materialize()   # feeds the wedge join twice
+
+    # wedges: for each source a, all ordered pairs of its oriented
+    # neighbours (x before y in the same (deg, id) order as the
+    # orientation, so the closing edge — if present — is stored as x->y)
+    wedges = shuffle_join(
+        oriented.map_batches(lambda b: pa.table(
+            {"a": b["a"], "x": b["b"], "rx": b["rank_b"]}),
+            batch_format="pyarrow"),
+        oriented.map_batches(lambda b: pa.table(
+            {"a2": b["a"], "y": b["b"], "ry": b["rank_b"]}),
+            batch_format="pyarrow"),
+        on=("a", "a2"), left_cols=["x", "rx"], right_cols=["y", "ry"],
+        shuffle_partitions=shuffle_partitions)
+
+    def order_wedge(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        rx = b["rx"].to_numpy(zero_copy_only=False)
+        ry = b["ry"].to_numpy(zero_copy_only=False)
+        keep = (rx < ry) | ((rx == ry) & (x < y))
+        return pa.table({"wx": pa.array(x[keep], pa.int64()),
+                         "wy": pa.array(y[keep], pa.int64())})
+
+    closed = shuffle_join(wedges.map_batches(order_wedge,
+                                             batch_format="pyarrow"),
+                          oriented.select_columns(["a", "b"]),
+                          on=[("wx", "a"), ("wy", "b")],
+                          left_cols=[], right_cols=[],
+                          shuffle_partitions=shuffle_partitions)
+
+    n = closed.count()
+    import ray
+    return ray.data.from_arrow(pa.table(
+        {"n_triangles": pa.array([n], pa.int64())}))
+
+
 def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
              shuffle_partitions: int | None = None):
     """Integer PageRank over a DISTINCT edge table, ``iters`` fixed

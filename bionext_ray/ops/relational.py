@@ -14,6 +14,7 @@ aggregation, tumbling-window aggregation over an event stream.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -536,16 +537,19 @@ def _key_buckets(arr, P: int):
 def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
                  right_cols: list[str], how: str = "inner",
                  shuffle_partitions: int | None = None):
-    """Distributed hash (shuffle) join of two LARGE datasets on one key.
+    """Distributed hash (shuffle) join of two LARGE datasets on 1+ keys.
 
     The big-big complement of ``broadcast_join`` (reference joins are all
     broadcast dict lookups, SURVEY.md §2.4; a 100-TB fact x fact join cannot
     broadcast either side): both inputs are union-tagged and co-located by
     key-hash bucket in ONE groupby exchange; inside each bucket the match is
     a single pandas C hash merge — no per-key Python. ``on`` is a key column
-    name, or a ``(left_key, right_key)`` pair when the names differ; the
-    output key column keeps the left name. Output columns:
-    [left_key] + left_cols + right_cols (must be disjoint). how: inner|left.
+    name, a ``(left_key, right_key)`` pair when the names differ, or a LIST
+    of either for a composite key (bucket = mix of per-column buckets; the
+    in-bucket merge matches on the actual columns, so bucket-hash collisions
+    only affect co-location, never correctness). Output key columns keep the
+    left names. Output columns: left_keys + left_cols + right_cols (must be
+    disjoint). how: inner|left.
 
     Skew caveat (documented partitioning assumption): one bucket holds ALL
     rows of its keys; if a single hot key's rows exceed a worker's memory,
@@ -554,27 +558,40 @@ def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
     import numpy as np
     import pandas as pd
 
-    lkey, rkey = on if isinstance(on, tuple) else (on, on)
+    if isinstance(on, list):
+        pairs = [p if isinstance(p, tuple) else (p, p) for p in on]
+    else:
+        pairs = [on if isinstance(on, tuple) else (on, on)]
+    lkeys = [l for l, _ in pairs]
+    rkeys = [r for _, r in pairs]
+    kcols = [f"__k{i}" for i in range(len(pairs))]
     assert how in ("inner", "left")
     assert not (set(left_cols) & set(right_cols))
     P = max(16, shuffle_partitions or 0)
 
     lsch = left_ds.schema().base_schema
     rsch = right_ds.schema().base_schema
-    key_t = lsch.field(lkey).type
+    key_ts = [lsch.field(k).type for k in lkeys]
     l_t = {c: lsch.field(c).type for c in left_cols}
     r_t = {c: rsch.field(c).type for c in right_cols}
-    out_schema = pa.schema([(lkey, key_t)]
+    out_schema = pa.schema(list(zip(lkeys, key_ts))
                            + [(c, l_t[c]) for c in left_cols]
                            + [(c, r_t[c]) for c in right_cols])
 
-    def tag(side: int, key_col, own_cols, other_types):
+    def tag(side: int, key_names, own_cols, other_types):
         def fn(b: pa.Table) -> pa.Table:
-            key = pa.compute.cast(b[key_col], key_t)
-            karr = key.to_numpy(zero_copy_only=False)
-            cols = {"__bucket": pa.array(_key_buckets(karr, P), pa.int64()),
-                    "__side": pa.array(np.full(b.num_rows, side, np.int8)),
-                    "__key": key}
+            keys = [pa.compute.cast(b[k], t)
+                    for k, t in zip(key_names, key_ts)]
+            # composite bucket: polynomial mix of per-column buckets (same
+            # key tuple -> same bucket on both sides, all that's required)
+            bkt = np.zeros(b.num_rows, np.int64)
+            for key in keys:
+                karr = key.to_numpy(zero_copy_only=False)
+                bkt = (bkt * 31 + _key_buckets(karr, P)) % P
+            cols = {"__bucket": pa.array(bkt, pa.int64()),
+                    "__side": pa.array(np.full(b.num_rows, side, np.int8))}
+            for kc, key in zip(kcols, keys):
+                cols[kc] = key
             # canonical column order on BOTH sides of the union (left cols
             # then right cols) so the unioned blocks share one schema
             for c in left_cols + right_cols:
@@ -583,19 +600,19 @@ def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
             return pa.table(cols)
         return fn
 
-    tagged = (left_ds.select_columns([lkey] + left_cols)
-              .map_batches(tag(0, lkey, left_cols, r_t),
+    tagged = (left_ds.select_columns(lkeys + left_cols)
+              .map_batches(tag(0, lkeys, left_cols, r_t),
                            batch_format="pyarrow")
-              .union(right_ds.select_columns([rkey] + right_cols)
-                     .map_batches(tag(1, rkey, right_cols, l_t),
+              .union(right_ds.select_columns(rkeys + right_cols)
+                     .map_batches(tag(1, rkeys, right_cols, l_t),
                                   batch_format="pyarrow")))
 
     def join_bucket(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
-        l = df[df["__side"] == 0][["__key"] + left_cols]
-        r = df[df["__side"] == 1][["__key"] + right_cols]
-        m = l.merge(r, on="__key", how=how)
-        m = m.rename(columns={"__key": lkey})
+        l = df[df["__side"] == 0][kcols + left_cols]
+        r = df[df["__side"] == 1][kcols + right_cols]
+        m = l.merge(r, on=kcols, how=how)
+        m = m.rename(columns=dict(zip(kcols, lkeys)))
         # explicit schema per bucket: an empty/all-null side must not flip
         # a column's dtype (pandas NaN promotion) between buckets
         return pa.Table.from_pandas(m[[f.name for f in out_schema]],
@@ -763,3 +780,100 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def cube_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
+             shuffle_partitions: int | None = 16, fill: str = "*ALL*"):
+    """GROUP BY CUBE: aggregates at every SUBSET of ``keys`` (2^k levels).
+
+    Same one-input-scan design as ``rollup_agg``: the full-key level runs
+    partial_final_agg over the raw rows; every other subset re-aggregates
+    that (tiny) result — sums of sums, counts as sums — so the raw data is
+    never re-shuffled per level. ``mean`` rejected (not decomposable).
+    Dropped keys are filled with ``fill`` (oracle mirrors with COALESCE over
+    GROUP BY CUBE), so keys must be string-typed.
+    """
+    from itertools import combinations
+
+    assert all(f in ("sum", "min", "max", "count") for _, f, _ in specs), \
+        "cube_agg re-aggregates levels; mean is not decomposable"
+    respec = [(alias, "sum" if f == "count" else f, alias)
+              for _, f, alias in specs]
+
+    def pad(prefix):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (b[k] if k in prefix
+                           else pa.array([fill] * b.num_rows, pa.string()))
+            for _, _, a in specs:
+                cols[a] = b[a]
+            return pa.table(cols)
+        return fn
+
+    deepest = partial_final_agg(ds, keys, specs,
+                                shuffle_partitions=shuffle_partitions)
+    deepest = deepest.materialize()      # every subset re-reads it
+    levels = [deepest.map_batches(pad(tuple(keys)), batch_format="pyarrow")]
+    for depth in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, depth):
+            if subset:
+                lv = partial_final_agg(deepest, list(subset), respec,
+                                       shuffle_partitions=shuffle_partitions)
+            else:
+                from ray.data.aggregate import Max, Min, Sum
+                aggs = {"sum": Sum, "min": Min, "max": Max}
+                row = deepest.aggregate(*[aggs[f](a, alias_name=a)
+                                          for _, f, a in respec]) or {}
+                lv = ray.data.from_arrow(pa.table(
+                    {a: pa.array([row.get(a)], pa.int64())
+                     for _, _, a in respec}))
+            levels.append(lv.map_batches(pad(subset),
+                                         batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def set_op(left_ds, right_ds, cols: list[str], op: str,
+           shuffle_partitions: int | None = None):
+    """Distinct-row set operations: ``intersect`` / ``except`` / ``union``
+    (ANSI INTERSECT / EXCEPT / UNION — all DISTINCT semantics).
+
+    ONE exchange: each side is reduced per block to (row -> side presence
+    counts), the union of partials goes through a single grouped sum keyed
+    on the full row, and a vectorized filter picks the rows the operator
+    keeps (intersect: present both sides; except: left only; union: any).
+    Only per-block-distinct rows cross the shuffle — the exact-dedup
+    pattern applied to two tagged inputs.
+    """
+    assert op in ("intersect", "except", "union")
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            ones = pa.array(np.ones(b.num_rows, np.int64))
+            zeros = pa.array(np.zeros(b.num_rows, np.int64))
+            t = b.select(cols)
+            t = t.append_column("_l", ones if side == 0 else zeros)
+            return t.append_column("_r", zeros if side == 0 else ones)
+        return fn
+
+    tagged = (left_ds.map_batches(tag(0), batch_format="pyarrow")
+              .union(right_ds.map_batches(tag(1), batch_format="pyarrow")))
+    counts = partial_final_agg(tagged, cols,
+                               [("_l", "sum", "_l"), ("_r", "sum", "_r")],
+                               shuffle_partitions=shuffle_partitions)
+
+    def pick(b: pa.Table) -> pa.Table:
+        l = b["_l"].to_numpy(zero_copy_only=False)
+        r = b["_r"].to_numpy(zero_copy_only=False)
+        if op == "intersect":
+            keep = (l > 0) & (r > 0)
+        elif op == "except":
+            keep = (l > 0) & (r == 0)
+        else:
+            keep = np.ones(len(l), bool)
+        return b.filter(pa.array(keep)).select(cols)
+
+    return counts.map_batches(pick, batch_format="pyarrow")

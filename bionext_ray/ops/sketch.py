@@ -43,6 +43,65 @@ def kmv_estimate(hashes: np.ndarray, k: int) -> tuple[int, bool]:
     return ((k - 1) * _HASH_SPACE) // h_k, False
 
 
+def kmv_distinct_grouped(ds, key: str, col: str, k: int = 64,
+                         shuffle_partitions: int | None = None):
+    """Per-group distinct-count KMV sketch: (key, n_distinct_est, is_exact).
+
+    Partial: per block, each group keeps its k smallest distinct hashes
+    (≤ k int64 rows per group per block cross the exchange — the sketch
+    property that makes COUNT(DISTINCT) GROUP BY feasible at 100 TB without
+    co-locating raw values). Final: ONE bucketed exchange on key; per bucket
+    a vectorized pandas groupby merges hash sets, re-takes the k smallest,
+    and applies the same integer estimator as the global sketch — so a SQL
+    oracle with a PARTITION BY mirror is exact at ANY scale, estimator path
+    included. Per-value Python md5 in the partial is the one slow kernel
+    (shared with kmv_distinct; needed for oracle exactness).
+    """
+    import pandas as pd
+
+    from bionext_ray.ops.relational import _key_buckets, coalesce_for_exchange
+
+    P = max(16, shuffle_partitions or 0)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tbl = pa.table({key: batch[key], col: batch[col]})
+        g = tbl.group_by([key, col]).aggregate([])    # block-local distinct
+        keys_out, hs_out = [], []
+        df = g.to_pandas()
+        for kv, grp in df.groupby(key, sort=False):
+            hs = _kmv_hashes(grp[col].tolist(), k)
+            keys_out.extend([kv] * len(hs))
+            hs_out.append(hs)
+        hs_all = (np.concatenate(hs_out) if hs_out
+                  else np.array([], np.int64))
+        t = pa.table({key: pa.array(keys_out,
+                                    batch.schema.field(key).type),
+                      "h": pa.array(hs_all, pa.int64())})
+        kb = _key_buckets(np.asarray(keys_out, dtype=object)
+                          if t[key].type == pa.string()
+                          else np.asarray(keys_out), P)
+        return t.append_column("__bucket", pa.array(kb, pa.int64()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_e, out_x = [], [], []
+        for kv, grp in g.groupby(key, sort=False):
+            hs = np.unique(grp["h"].to_numpy(np.int64))
+            if hs.size > k:
+                hs = hs[:k]
+            est, exact = kmv_estimate(hs, k)
+            out_k.append(kv)
+            out_e.append(est)
+            out_x.append(exact)
+        return pd.DataFrame({key: out_k, "n_distinct_est": out_e,
+                             "is_exact": out_x})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return (coalesce_for_exchange(parts, P)
+            .groupby("__bucket")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def kmv_distinct(ds, col: str, k: int = 64):
     """Distinct-count sketch over a Dataset column. Returns a one-row
     pyarrow table (n_distinct_est: int64, is_exact: bool)."""

@@ -353,6 +353,37 @@ def test_kmv_distinct_sketch(ray_session):
     assert est["n_distinct_est"] == first     # layout-independent
 
 
+def test_kmv_distinct_grouped(ray_session):
+    """Grouped KMV: exact for small groups, estimator for big ones, both
+    layout-independent and equal to the global sketch run per group."""
+    import ray.data
+
+    from bionext_ray.ops.sketch import kmv_distinct, kmv_distinct_grouped
+    vals, keys = [], []
+    for i in range(4000):
+        keys.append("big")
+        vals.append(f"user-{i}")
+    for i in range(600):
+        keys.append("small")
+        vals.append(f"u{i % 20}")
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    for blocks in (1, 8):
+        got = {r["k"]: (r["n_distinct_est"], r["is_exact"])
+               for r in kmv_distinct_grouped(
+                   ray.data.from_arrow(t).repartition(blocks),
+                   "k", "v", k=64).take_all()}
+        assert got["small"] == (20, True)
+        assert not got["big"][1]
+        # per-group result identical to the global sketch on that slice
+        solo = kmv_distinct(
+            ray.data.from_arrow(t.filter(
+                pa.compute.equal(t["k"], "big"))), "v", k=64).to_pylist()[0]
+        assert got["big"][0] == solo["n_distinct_est"]
+        if blocks == 1:
+            first = got
+    assert got == first
+
+
 def test_connected_components_long_chain_and_cap(ray_session):
     """Pointer jumping must fully merge a chain far deeper than the round
     count plain propagation could reach; an insufficient iteration cap

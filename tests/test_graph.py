@@ -1,0 +1,128 @@
+"""Unit tests for graph analytics (ops/graph.py), composite-key shuffle
+join, set operations, and CUBE — cross-checked against plain-Python/pandas
+references on small graphs/tables."""
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _ds(d):
+    return ray.data.from_arrow(pa.table(d))
+
+
+def _edge_ds(raw):
+    return _ds({"src": pa.array([u for u, _ in raw], pa.int64()),
+                "dst": pa.array([v for _, v in raw], pa.int64())})
+
+
+def test_shuffle_join_composite_key(ray_session):
+    from bionext_ray.ops.relational import shuffle_join
+    left = _ds({"a": pa.array([1, 1, 2, 2, 9], pa.int64()),
+                "b": pa.array([7, 8, 7, 8, 9], pa.int64()),
+                "lv": pa.array(list("vwxyz"), pa.string())})
+    right = _ds({"x": pa.array([1, 2, 2, 3], pa.int64()),
+                 "y": pa.array([8, 7, 9, 7], pa.int64()),
+                 "rv": pa.array([100, 200, 201, 300], pa.int64())})
+    got = shuffle_join(left, right, on=[("a", "x"), ("b", "y")],
+                       left_cols=["lv"], right_cols=["rv"]).to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    # matches: (1,8)->100, (2,7)->200
+    assert got[["a", "b", "lv", "rv"]].values.tolist() == [
+        [1, 8, "w", 100], [2, 7, "x", 200]]
+
+    # same-name composite keys + left join
+    right2 = _ds({"a": pa.array([1, 2], pa.int64()),
+                  "b": pa.array([8, 7], pa.int64()),
+                  "rv": pa.array([5, 6], pa.int64())})
+    lg = shuffle_join(left, right2, on=["a", "b"], left_cols=["lv"],
+                      right_cols=["rv"], how="left").to_pandas()
+    assert len(lg) == 5
+    assert lg["rv"].notna().sum() == 2
+
+
+def _tri_brute(raw):
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    return sum(1 for a, b, c in combinations(nodes, 3)
+               if (a, b) in und and (a, c) in und and (b, c) in und)
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    from bionext_ray.ops.graph import triangle_count
+    rng = np.random.default_rng(5)
+    raw = [tuple(e) for e in rng.integers(0, 25, (160, 2)).tolist()]
+    raw += [(0, 1), (1, 2), (2, 0)]            # guarantee one triangle
+    got = triangle_count(_edge_ds(raw)).to_pandas()["n_triangles"][0]
+    assert got == _tri_brute(raw)
+
+
+def test_triangle_count_no_triangles(ray_session):
+    from bionext_ray.ops.graph import triangle_count
+    raw = [(0, 1), (1, 2), (2, 3)]             # path graph
+    got = triangle_count(_edge_ds(raw)).to_pandas()["n_triangles"][0]
+    assert got == 0
+
+
+def test_degree_distribution(ray_session):
+    from bionext_ray.ops.graph import degree_distribution
+    raw = [(0, 1), (0, 2), (0, 2), (1, 2), (3, 0)]   # deg: 0->2,1->1,3->1
+    got = degree_distribution(_edge_ds(raw)).to_pandas()
+    assert dict(zip(got["deg"], got["n_nodes"])) == {2: 1, 1: 2}
+
+
+def test_set_ops(ray_session):
+    from bionext_ray.ops.relational import set_op
+    left = _ds({"k": pa.array([1, 1, 2, 3, 4], pa.int64())})
+    right = _ds({"k": pa.array([2, 2, 4, 5], pa.int64())})
+    inter = sorted(set_op(left, right, ["k"], "intersect")
+                   .to_pandas()["k"])
+    assert inter == [2, 4]
+    exc = sorted(set_op(left, right, ["k"], "except").to_pandas()["k"])
+    assert exc == [1, 3]
+    uni = sorted(set_op(left, right, ["k"], "union").to_pandas()["k"])
+    assert uni == [1, 2, 3, 4, 5]
+
+
+def test_set_op_multicolumn(ray_session):
+    from bionext_ray.ops.relational import set_op
+    left = _ds({"a": pa.array(["x", "x", "y"], pa.string()),
+                "b": pa.array([1, 2, 1], pa.int64())})
+    right = _ds({"a": pa.array(["x"], pa.string()),
+                 "b": pa.array([2], pa.int64())})
+    exc = (set_op(left, right, ["a", "b"], "except").to_pandas()
+           .sort_values(["a", "b"]).values.tolist())
+    assert exc == [["x", 1], ["y", 1]]
+
+
+def test_cube_matches_pandas(ray_session):
+    from bionext_ray.ops.relational import cube_agg
+    rng = np.random.default_rng(3)
+    a = rng.choice(list("xy"), 120)
+    b = rng.choice(list("pq"), 120)
+    v = rng.integers(0, 50, 120)
+    got = (cube_agg(_ds({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string()),
+                         "v": pa.array(v, pa.int64())}),
+                    ["a", "b"], [("v", "sum", "sv"), ("v", "count", "nv")])
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    df = pd.DataFrame({"a": a, "b": b, "v": v})
+    parts = []
+    for subset in [["a", "b"], ["a"], ["b"], []]:
+        if subset:
+            p = df.groupby(subset).agg(sv=("v", "sum"),
+                                       nv=("v", "count")).reset_index()
+        else:
+            p = pd.DataFrame({"sv": [v.sum()], "nv": [120]})
+        for k in ("a", "b"):
+            if k not in subset:
+                p[k] = "*ALL*"
+        parts.append(p[["a", "b", "sv", "nv"]])
+    want = (pd.concat(parts, ignore_index=True)
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"sv": "int64", "nv": "int64"}),
+                                  want.astype({"sv": "int64",
+                                               "nv": "int64"}))
