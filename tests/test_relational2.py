@@ -172,6 +172,26 @@ def test_pagerank_sink_node_keeps_base_rank(ray_session):
     assert got[0] == (15 * base) // 100  # no in-edges -> base term only
 
 
+def test_pagerank_exchange_path_matches_broadcast(ray_session):
+    """The all-exchange (Pregel) path and the broadcast-state path are the
+    same integer recurrence — force the exchange path with a zero broadcast
+    threshold and compare bit-for-bit."""
+    from bionext_ray.ops.graph import pagerank
+    rng = np.random.default_rng(2)
+    raw = rng.integers(0, 30, (200, 2))
+
+    def edge_ds():
+        return _ds({"src": pa.array(raw[:, 0], pa.int64()),
+                    "dst": pa.array(raw[:, 1], pa.int64())})
+
+    a = pagerank(edge_ds(), iters=3).to_pandas() \
+        .set_index("node")["pr_scaled"].to_dict()
+    b = pagerank(edge_ds(), iters=3, broadcast_nodes_max=0).to_pandas() \
+        .set_index("node")["pr_scaled"].to_dict()
+    assert a == b == _int_pagerank_ref(
+        [tuple(e) for e in raw.tolist()])
+
+
 def test_rollup_matches_pandas(ray_session):
     from bionext_ray.ops.relational import rollup_agg
     rng = np.random.default_rng(11)
