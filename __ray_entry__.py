@@ -189,6 +189,20 @@ def q_sample_documents(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_training_mix(sf_dir: str):
+    """Training-mix construction: per-language sampling rates over the
+    documents table (down-sample dominant 'en' to 25%, 'zh' to 50%, keep
+    all rare languages) in one streaming batch-local pass — no shuffle.
+    md5-rank convention mirrored exactly in the SQL oracle CASE."""
+    from bionext_ray.ops.textstats import mixture_sample_batch
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .map_batches(
+            lambda b: mixture_sample_batch(
+                b, "doc_id", "lang", {"en": 0.25, "zh": 0.5},
+                default_rate=1.0, seed="11"),
+            batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     from bionext_ray.ops.textstats import fingerprint_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -428,6 +442,21 @@ def q_priority_revenue(sf_dir: str):
         ["o_orderpriority"],
         [("one", "sum", "n_late"), ("qty", "sum", "sum_qty"),
          ("rev_units", "sum", "rev_units")])
+
+
+def q_events_user_join(sf_dir: str):
+    """Skew-aware salted join: events (fact, hot user_ids — every user has
+    ~70 events) x customer (dim) on user_id = c_custkey. Hot keys are
+    estimated with bounded per-block frequency partials, then salted across
+    8 sub-buckets with the dim rows replicated per salt, so no shuffle
+    bucket ever holds a hot key's full fact row set. The oracle is a plain
+    SQL JOIN — salting must not change a single output row."""
+    from bionext_ray.ops.relational import skew_join
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return skew_join(events, customer, ("user_id", "c_custkey"),
+                     ["event_id", "value"], ["c_name"], how="inner",
+                     hot_threshold=40, salts=8)
 
 
 def q_customers_no_orders(sf_dir: str):
@@ -1217,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "sample_documents": q_sample_documents,
+        "training_mix": q_training_mix,
         "top_docs_per_lang": q_top_docs_per_lang,
         "domain_stats": q_domain_stats,
         "term_counts": q_term_counts,
@@ -1243,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks": q_pack_chunks,
         "pack_bins": q_pack_bins,
         "priority_revenue": q_priority_revenue,
+        "events_user_join": q_events_user_join,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1380,6 +1411,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-7'), 1, 8)
                   < '3fffffff'
+        """,
+        "training_mix": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-11'), 1, 8)
+                  < CASE lang WHEN 'en' THEN '3fffffff'
+                              WHEN 'zh' THEN '7fffffff'
+                              ELSE 'ffffffff' END
+        """,
+        "events_user_join": """
+            SELECT e.user_id, e.event_id, e.value, c.c_name
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
         """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

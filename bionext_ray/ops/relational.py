@@ -622,6 +622,108 @@ def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
         join_bucket, batch_format="pyarrow")
 
 
+def detect_hot_keys(ds, key_col: str, threshold: int, top_m: int = 64):
+    """Estimate hot join keys: per-block top-``top_m`` frequency partials
+    (<= top_m rows per block cross to the driver — bounded, never the data),
+    merged and thresholded on total count. A key that misses a block's
+    top-m is under-counted, so this is a partitioning HEURISTIC only, never
+    a correctness input: ``skew_join`` output is identical whichever keys
+    land in the hot set."""
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[key_col].value_counts().head(top_m)
+        return pd.DataFrame({key_col: vc.index.to_numpy(),
+                             "__n": vc.to_numpy()})
+
+    parts = (ds.select_columns([key_col])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    if parts.empty:
+        return set()
+    tot = parts.groupby(key_col)["__n"].sum()
+    return set(tot[tot >= threshold].index.tolist())
+
+
+def skew_join(left_ds, right_ds, on, left_cols: list[str],
+              right_cols: list[str], how: str = "inner",
+              hot_keys=None, hot_threshold: int = 100_000, salts: int = 8,
+              shuffle_partitions: int | None = None):
+    """Skew-aware shuffle join: identical semantics (and output rows) to
+    ``shuffle_join``, but rows of HOT keys are salted so no single shuffle
+    bucket has to hold a hot key's full row set. This is the documented
+    escape hatch for shuffle_join's skew caveat, as its own operator:
+
+    - hot keys come from ``hot_keys`` or are estimated by
+      ``detect_hot_keys`` over the left (probe) side;
+    - left hot rows get a per-row salt in [0, salts); right hot rows are
+      REPLICATED once per salt value (dim-side duplication factor =
+      ``salts`` x |right hot rows| — cheap when the hot side is the probe
+      side, which is the web-corpus case: millions of pages pointing at one
+      domain row);
+    - the join key becomes (key, salt), splitting each hot key across
+      ``salts`` buckets; cold rows take salt 0 and pay nothing.
+
+    One key column (or a (left, right) name pair) — salting a composite
+    key adds nothing over salting its hash. how: inner|left.
+    """
+    import numpy as np
+
+    lkey, rkey = on if isinstance(on, tuple) else (on, on)
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left_ds, lkey, hot_threshold)
+    if not hot_keys:
+        return shuffle_join(left_ds, right_ds, (lkey, rkey), left_cols,
+                            right_cols, how=how,
+                            shuffle_partitions=shuffle_partitions)
+    hot_ref = ray.put(sorted(hot_keys))
+
+    class _HotBase:
+        """Hot-key set fetched ONCE per actor (ray.put broadcast, zero-copy
+        object-store read), cast lazily to the batch's key type."""
+
+        def __init__(self):
+            self._vs = pa.array(ray.get(hot_ref))
+
+        def hot_mask(self, batch: pa.Table, key: str):
+            import pyarrow.compute as pc
+            return pc.is_in(
+                batch[key],
+                value_set=self._vs.cast(batch.schema.field(key).type))
+
+    class SaltLeft(_HotBase):
+        def __call__(self, b: pa.Table) -> pa.Table:
+            hot = self.hot_mask(b, lkey).to_numpy(zero_copy_only=False)
+            salt = np.where(hot, np.arange(b.num_rows) % salts, 0)
+            return b.append_column("__salt", pa.array(salt, pa.int64()))
+
+    class ReplicateRightHot(_HotBase):
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            hot = self.hot_mask(b, rkey)
+            cold_t = b.filter(pc.invert(hot))
+            cold = cold_t.append_column(
+                "__salt", pa.array(np.zeros(cold_t.num_rows, np.int64)))
+            hot_t = b.filter(hot)
+            tiled = pa.concat_tables([hot_t] * salts).append_column(
+                "__salt", pa.array(np.repeat(np.arange(salts, dtype=np.int64),
+                                             hot_t.num_rows)))
+            return pa.concat_tables([cold, tiled])
+
+    left2 = (left_ds.select_columns(
+                 list(dict.fromkeys([lkey] + left_cols)))
+             .map_batches(SaltLeft, batch_format="pyarrow",
+                          concurrency=actor_pool_size()))
+    right2 = (right_ds.select_columns(
+                  list(dict.fromkeys([rkey] + right_cols)))
+              .map_batches(ReplicateRightHot, batch_format="pyarrow",
+                           concurrency=actor_pool_size()))
+    joined = shuffle_join(left2, right2,
+                          [(lkey, rkey), ("__salt", "__salt")],
+                          left_cols, right_cols, how=how,
+                          shuffle_partitions=shuffle_partitions)
+    return joined.select_columns([lkey] + left_cols + right_cols)
+
+
 def anti_join_filter(big_ds, keys, key_col: str, batch_size: int = 8192):
     """Anti-join: keep rows whose key is NOT in the broadcast key set
     (NOT EXISTS semantics). Mirror of semi_join_filter — the key set is

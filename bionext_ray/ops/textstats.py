@@ -181,6 +181,37 @@ def hash_sample_batch(batch, key_col: str, fraction: float, seed: str = "0"):
     return batch.filter(mask)
 
 
+def mixture_sample_batch(batch, key_col: str, group_col: str,
+                         rates: dict, default_rate: float = 1.0,
+                         seed: str = "0"):
+    """Per-group deterministic sampling for training-mix construction:
+    each group (e.g. language, source domain) keeps its own fraction of
+    rows, so a corpus can be re-weighted in one streaming pass (down-sample
+    the dominant language, keep all of the rare ones). Same md5-rank
+    convention as ``hash_sample_batch`` — stable across processes and
+    parallelism, SQL-mirrorable with a CASE over the group column.
+
+    ``rates`` maps group value -> keep fraction in [0, 1]; groups absent
+    from the map use ``default_rate``. Purely batch-local (no shuffle): the
+    rates dict is tiny config, captured in the task closure — at 100 TB the
+    only cost is the per-row hash.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    thresholds = {g: format(int(r * 0xFFFFFFFF), "08x")
+                  for g, r in rates.items()}
+    default_t = format(int(default_rate * 0xFFFFFFFF), "08x")
+    keys = batch[key_col].to_pylist()
+    groups = batch[group_col].to_pylist()
+    mask = pa.array([
+        hashlib.md5(f"{k}-{seed}".encode()).hexdigest()[:8]
+        < thresholds.get(g, default_t)
+        for k, g in zip(keys, groups)])
+    return batch.filter(mask)
+
+
 def json_extract_int_batch(batch, json_col: str, field: str, out: str):
     """Extract an integer field from a JSON string column (the reference
     parses JSONL KB rows with json.loads per line — chemicals.py:55-57;

@@ -217,3 +217,74 @@ def test_rollup_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"sv": "int64", "nv": "int64"}),
         want.astype({"sv": "int64", "nv": "int64"}))
+
+
+def test_skew_join_matches_pandas_merge(ray_session):
+    """Salted path vs pandas merge: a hot key (80% of the probe side) must
+    produce IDENTICAL rows to a plain join, inner and left."""
+    from bionext_ray.ops.relational import skew_join
+    rng = np.random.default_rng(11)
+    lk = np.where(rng.random(600) < 0.8, 7, rng.integers(0, 40, 600))
+    left = _ds({"k": pa.array(lk, pa.int64()),
+                "lv": pa.array(np.arange(600), pa.int64())})
+    right = _ds({"rk": pa.array(np.arange(0, 45), pa.int64()),
+                 "rv": pa.array(np.arange(0, 45) * 3, pa.int64())})
+    ldf = pd.DataFrame({"k": lk, "lv": np.arange(600)})
+    rdf = pd.DataFrame({"k": np.arange(0, 45), "rv": np.arange(0, 45) * 3})
+    for how in ("inner", "left"):
+        got = (skew_join(left, right, ("k", "rk"), ["lv"], ["rv"], how=how,
+                         hot_keys={7}, salts=4)
+               .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+        want = (ldf.merge(rdf, on="k", how=how)
+                .sort_values(["k", "lv"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+
+def test_skew_join_auto_hot_detection(ray_session):
+    """detect_hot_keys finds the hot key; empty hot set falls back to the
+    plain shuffle join with the same result."""
+    from bionext_ray.ops.relational import detect_hot_keys, skew_join
+    lk = np.concatenate([np.full(300, 9), np.arange(20)])
+    left = _ds({"k": pa.array(lk, pa.int64()),
+                "lv": pa.array(np.arange(320), pa.int64())})
+    hot = detect_hot_keys(left, "k", threshold=100)
+    assert hot == {9}
+    right = _ds({"k": pa.array(np.arange(25), pa.int64()),
+                 "rv": pa.array(np.arange(25), pa.int64())})
+    auto = (skew_join(left, right, "k", ["lv"], ["rv"], hot_threshold=100)
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    none_hot = (skew_join(left, right, "k", ["lv"], ["rv"],
+                          hot_keys=set())
+                .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(auto, none_hot)
+    assert len(auto) == 320
+
+
+def test_mixture_sample_rates_and_determinism():
+    """Per-group keep decision equals hash_sample_batch at that group's
+    rate; absent groups use default_rate; batch-split invariant."""
+    from bionext_ray.ops.textstats import (hash_sample_batch,
+                                           mixture_sample_batch)
+    n = 2000
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "g": pa.array([("a", "b", "c")[i % 3] for i in range(n)]),
+    })
+    rates = {"a": 0.2, "b": 0.7}
+    out = mixture_sample_batch(t, "id", "g", rates, default_rate=1.0,
+                               seed="5").to_pandas()
+    # group c: default 1.0 keeps everything
+    assert (out["g"] == "c").sum() == sum(1 for i in range(n) if i % 3 == 2)
+    for g, r in rates.items():
+        sub = t.filter(pa.compute.equal(t["g"], g))
+        want = hash_sample_batch(sub, "id", r, seed="5").to_pandas()
+        got = out[out["g"] == g].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+    # splitting the batch changes nothing (parallelism-invariant)
+    halves = pd.concat([
+        mixture_sample_batch(t.slice(0, n // 2), "id", "g", rates,
+                             default_rate=1.0, seed="5").to_pandas(),
+        mixture_sample_batch(t.slice(n // 2), "id", "g", rates,
+                             default_rate=1.0, seed="5").to_pandas(),
+    ]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(halves, out)
