@@ -203,6 +203,16 @@ def q_training_mix(sf_dir: str):
             batch_format="pyarrow")
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index over the documents table: term -> df + ascending
+    comma-joined posting list, built with one term-bucketed exchange."""
+    from bionext_ray.ops.relational import estimate_partitions
+    from bionext_ray.ops.textstats import inverted_index
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    return inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          shuffle_partitions=sp)
+
+
 def q_fingerprint(sf_dir: str):
     from bionext_ray.ops.textstats import fingerprint_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -585,13 +595,21 @@ def q_orders_rollup(sf_dir: str):
 
 def _lineitem_edges(sf_dir: str):
     """Deterministic graph-analytics edge table shared by the graph queries:
-    (l_orderkey%997 -> l_partkey%997) per lineitem row."""
+    (l_orderkey%m -> l_partkey%m) per lineitem row, with the modulus
+    SCALE-ADAPTIVE: m = max(997, n_rows // 12) keeps the average degree
+    ~constant (sparse-webgraph shape) as the input grows — a FIXED node
+    space would densify with scale and blow the wedge fan-out of triangle
+    counting quadratically. The SQL oracles derive m with the identical
+    GREATEST(997, COUNT(*)//12) expression."""
+    import pyarrow.parquet as pq
     from bionext_ray.ops.relational import estimate_partitions
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    m = max(997, n_rows // 12)
 
     def edges(b: pa.Table) -> pa.Table:
-        src = b["l_orderkey"].to_numpy(zero_copy_only=False) % 997
-        dst = b["l_partkey"].to_numpy(zero_copy_only=False) % 997
+        src = b["l_orderkey"].to_numpy(zero_copy_only=False) % m
+        dst = b["l_partkey"].to_numpy(zero_copy_only=False) % m
         return pa.table({"src": pa.array(src, pa.int64()),
                          "dst": pa.array(dst, pa.int64())})
 
@@ -721,7 +739,8 @@ def q_kg_pagerank(sf_dir: str):
 def q_pagerank(sf_dir: str):
     """Integer PageRank (3 fixed iterations, damping 85/100, ranks scaled
     1e9) over a deterministic edge table derived from lineitem
-    (l_orderkey%997 -> l_partkey%997). Composed entirely from this repo's
+    (l_orderkey%m -> l_partkey%m, scale-adaptive m — see _lineitem_edges).
+    Composed entirely from this repo's
     distributed primitives — shuffle_join per iteration for rank x degree
     and edge x rate, partial+final agg for contributions — with floor
     division at every step so the unrolled-CTE DuckDB oracle matches
@@ -1247,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "sample_documents": q_sample_documents,
         "training_mix": q_training_mix,
+        "inverted_index": q_inverted_index,
         "top_docs_per_lang": q_top_docs_per_lang,
         "domain_stats": q_domain_stats,
         "term_counts": q_term_counts,
@@ -1320,8 +1340,11 @@ def oracle_sql() -> dict[str, str]:
         division throughout) as chained CTEs."""
         base = "(1000000000 // (SELECT n FROM params))"
         ctes = [
-            "edges AS (SELECT DISTINCT l_orderkey % 997 AS src, "
-            "l_partkey % 997 AS dst FROM lineitem)",
+            "mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m "
+            "FROM lineitem)",
+            "edges AS (SELECT DISTINCT "
+            "l_orderkey % (SELECT m FROM mods) AS src, "
+            "l_partkey % (SELECT m FROM mods) AS dst FROM lineitem)",
             "nodes AS (SELECT src AS v FROM edges "
             "UNION SELECT dst AS v FROM edges)",
             "deg AS (SELECT src AS v, COUNT(*) AS deg "
@@ -1418,6 +1441,19 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN '3fffffff'
                               WHEN 'zh' THEN '7fffffff'
                               ELSE 'ffffffff' END
+        """,
+        "inverted_index": """
+            WITH td AS (
+                SELECT DISTINCT w AS term, doc_id FROM (
+                    SELECT unnest(string_split(lower(COALESCE(text, '')),
+                                               ' ')) AS w, doc_id
+                    FROM documents)
+                WHERE w <> ''
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM td GROUP BY term
         """,
         "events_user_join": """
             SELECT e.user_id, e.event_id, e.value, c.c_name
@@ -1760,16 +1796,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(3),
         "degree_dist": """
-            WITH edges AS (SELECT DISTINCT l_orderkey % 997 AS src,
-                                           l_partkey % 997 AS dst
+            WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
+                          FROM lineitem),
+                 edges AS (SELECT DISTINCT
+                               l_orderkey % (SELECT m FROM mods) AS src,
+                               l_partkey % (SELECT m FROM mods) AS dst
                            FROM lineitem),
                  deg AS (SELECT src, COUNT(*) AS deg
                          FROM edges GROUP BY src)
             SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg
         """,
         "triangles": """
-            WITH raw AS (SELECT DISTINCT l_orderkey % 997 AS u,
-                                         l_partkey % 997 AS v
+            WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
+                          FROM lineitem),
+                 raw AS (SELECT DISTINCT
+                             l_orderkey % (SELECT m FROM mods) AS u,
+                             l_partkey % (SELECT m FROM mods) AS v
                          FROM lineitem),
                  und AS (SELECT DISTINCT LEAST(u, v) AS a,
                                          GREATEST(u, v) AS b

@@ -53,7 +53,8 @@ def _run_bench() -> dict:
         "top_docs_per_lang", "token_count", "lang_id", "fingerprint",
         "sample_documents", "tfidf_top_terms", "image_features",
         "distinct_users_kmv", "priority_revenue", "events_running_total",
-        "pagerank", "pii_redact",
+        "pagerank", "pii_redact", "triangles", "orders_rollup",
+        "top_tokens", "events_user_join", "training_mix",
     ]
 
     per_query = {}

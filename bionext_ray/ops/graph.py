@@ -66,7 +66,7 @@ def node_table(edges_ds, src: str = "src", dst: str = "dst",
                shuffle_partitions: int | None = None):
     """Distinct nodes appearing as src or dst (per-block unique reduction,
     one grouped pass). Output column: v."""
-    from bionext_ray.ops.relational import partial_final_agg
+    from bionext_ray.ops.relational import bucketed_agg
 
     def verts(b: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate([
@@ -75,17 +75,19 @@ def node_table(edges_ds, src: str = "src", dst: str = "dst",
         return pa.table({"v": pa.array(u, pa.int64()),
                          "_c": pa.array(np.ones(len(u), np.int64))})
 
-    agg = partial_final_agg(edges_ds.map_batches(verts,
-                                                 batch_format="pyarrow"),
-                            ["v"], [("_c", "sum", "_c")],
-                            shuffle_partitions=shuffle_partitions)
+    # node ids are ~|V|-cardinality: bucketed_agg, never a key-sorted
+    # global aggregate
+    agg = bucketed_agg(edges_ds.map_batches(verts, batch_format="pyarrow"),
+                       ["v"], [("_c", "sum", "_c")],
+                       shuffle_partitions=shuffle_partitions)
     return agg.select_columns(["v"])
 
 
 def out_degrees(edges_ds, src: str = "src",
                 shuffle_partitions: int | None = None):
-    """Out-degree per source node (partial+final count). Output: v, deg."""
-    from bionext_ray.ops.relational import partial_final_agg
+    """Out-degree per source node (high-cardinality bucketed count).
+    Output: v, deg."""
+    from bionext_ray.ops.relational import bucketed_agg
 
     def one(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -93,10 +95,9 @@ def out_degrees(edges_ds, src: str = "src",
             "_c": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64()),
         })
 
-    return partial_final_agg(edges_ds.map_batches(one,
-                                                  batch_format="pyarrow"),
-                             ["v"], [("_c", "sum", "deg")],
-                             shuffle_partitions=shuffle_partitions)
+    return bucketed_agg(edges_ds.map_batches(one, batch_format="pyarrow"),
+                        ["v"], [("_c", "sum", "deg")],
+                        shuffle_partitions=shuffle_partitions)
 
 
 def degree_distribution(edges_ds, src: str = "src", dst: str = "dst",
@@ -142,7 +143,7 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
     self-join (1), closing composite join (1) — all bucketed, none
     driver-resident; only the final COUNT collapses to one row.
     """
-    from bionext_ray.ops.relational import partial_final_agg, shuffle_join
+    from bionext_ray.ops.relational import bucketed_agg, shuffle_join
 
     # canonical undirected edges: (lo, hi), self-loops dropped
     def undirect(b: pa.Table) -> pa.Table:
@@ -164,10 +165,9 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
         return pa.table({"v": pa.array(vs.astype(np.int64), pa.int64()),
                          "_c": pa.array(np.ones(len(vs), np.int64))})
 
-    deg = partial_final_agg(und.map_batches(both_ends,
-                                            batch_format="pyarrow"),
-                            ["v"], [("_c", "sum", "deg")],
-                            shuffle_partitions=shuffle_partitions)
+    deg = bucketed_agg(und.map_batches(both_ends, batch_format="pyarrow"),
+                       ["v"], [("_c", "sum", "deg")],
+                       shuffle_partitions=shuffle_partitions)
 
     withdeg = shuffle_join(und, deg, on=("src", "v"), left_cols=["dst"],
                            right_cols=["deg"],
@@ -199,6 +199,15 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
     oriented = withdeg.map_batches(orient, batch_format="pyarrow")
     oriented = oriented.materialize()   # feeds the wedge join twice
 
+    # The wedge phase EXPLODES: output rows ~= sum_a C(outdeg(a), 2),
+    # typically several x the edge count even on sparse graphs, so its
+    # exchanges must be sized to the intermediate, not to the input file
+    # that shuffle_partitions was estimated from. Floor at the cluster's
+    # CPU count so the heaviest stage can actually use every core.
+    import ray as _ray
+    Pw = max(shuffle_partitions or 0, 16,
+             int(_ray.cluster_resources().get("CPU", 8)))
+
     # wedges: for each source a, all ordered pairs of its oriented
     # neighbours (x before y in the same (deg, id) order as the
     # orientation, so the closing edge — if present — is stored as x->y)
@@ -210,7 +219,7 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
             {"a2": b["a"], "y": b["b"], "ry": b["rank_b"]}),
             batch_format="pyarrow"),
         on=("a", "a2"), left_cols=["x", "rx"], right_cols=["y", "ry"],
-        shuffle_partitions=shuffle_partitions)
+        shuffle_partitions=Pw)
 
     def order_wedge(b: pa.Table) -> pa.Table:
         x = b["x"].to_numpy(zero_copy_only=False)
@@ -226,7 +235,7 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
                           oriented.select_columns(["a", "b"]),
                           on=[("wx", "a"), ("wy", "b")],
                           left_cols=[], right_cols=[],
-                          shuffle_partitions=shuffle_partitions)
+                          shuffle_partitions=Pw)
 
     n = closed.count()
     import ray
@@ -264,7 +273,7 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
     vs 47 s all-exchange (fixed exchange costs dominate node-sized
     state); both paths produce identical ranks.
     """
-    from bionext_ray.ops.relational import partial_final_agg, shuffle_join
+    from bionext_ray.ops.relational import bucketed_agg, shuffle_join
 
     edges = distinct_edges(edges_ds,
                            shuffle_partitions=shuffle_partitions)
@@ -308,7 +317,7 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
                                 on=("src", "v"), left_cols=["dst"],
                                 right_cols=["rate"],
                                 shuffle_partitions=shuffle_partitions)
-        contrib = partial_final_agg(
+        contrib = bucketed_agg(
             per_edge.select_columns(["dst", "rate"]),
             ["dst"], [("rate", "sum", "contrib")],
             shuffle_partitions=shuffle_partitions)

@@ -119,6 +119,57 @@ def partial_final_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
     return partial.groupby(keys).aggregate(*final_aggs)
 
 
+_MERGE_FUN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def bucketed_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
+                 shuffle_partitions: int | None = None):
+    """Grouped aggregation for HIGH-CARDINALITY keys (the complement of
+    ``partial_final_agg``, whose final Ray groupby SORTS the full key
+    space — with ~|input| distinct keys that sort dominates wall time;
+    measured ~100 s vs ~3 s on a 600k-row / 50k-key edge aggregate).
+
+    Shape (the anti-singleton-group pattern): arrow in-block combine ->
+    one row per (key, block); key-hash bucket column -> ONE grouped
+    exchange over ~P groups (never one group per key); a C pandas groupby
+    inside each bucket merges the partials. specs: [(col, fun, alias)],
+    fun in {sum, min, max, count}; partial counts merge with sum.
+    """
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        aggs = [(c, _ARROW_FUNS[f]) for c, f, _ in specs]
+        g = batch.group_by(keys).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
+        for c, f, alias in specs:
+            cols[alias] = g[f"{c}_{_ARROW_FUNS[f]}"]
+        bkt = np.zeros(g.num_rows, np.int64)
+        for k in keys:
+            karr = g[k].to_numpy(zero_copy_only=False)
+            bkt = (bkt * 31 + _key_buckets(karr, P)) % P
+        cols["__bucket"] = pa.array(bkt, pa.int64())
+        return pa.table(cols)
+
+    merge_map = {alias: (alias, _MERGE_FUN[f]) for _, f, alias in specs}
+    out_cols = keys + [alias for _, _, alias in specs]
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(keys, sort=False).agg(**merge_map).reset_index()
+        # Arrow out (not pandas blocks): downstream ops (shuffle_join)
+        # read the Arrow schema, and pandas->Arrow here is one cheap copy
+        # of an already-reduced bucket
+        return pa.Table.from_pandas(m[out_cols], preserve_index=False)
+
+    partial = ds.map_batches(combine, batch_format="pyarrow")
+    return (coalesce_for_exchange(partial, P)
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pandas")
+            .select_columns(out_cols))
+
+
 def estimate_partitions(paths, target_bytes: int = 64 * 1024 * 1024,
                         lo: int = 1, hi: int = 1_000_000) -> int:
     """Scale-aware shuffle-partition count from input size: one partition

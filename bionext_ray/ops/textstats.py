@@ -440,3 +440,56 @@ def redact_pii_batch(batch: pa.Table) -> pa.Table:
         "n_emails": n_email,
         "n_longnums": n_num,
     })
+
+
+def inverted_index(documents_ds, shuffle_partitions: int | None = None):
+    """Distributed inverted-index construction: term -> document frequency
+    + comma-joined posting list of doc_ids in ascending order (the search
+    -engine / retrieval building block; the reference's alias dictionaries
+    are a tiny in-memory analogue, SURVEY.md §2 T7).
+
+    Shape: one Arrow split + pandas drop_duplicates per batch emits the
+    distinct (term, doc_id) incidence rows — each document lives in exactly
+    one input row, so per-batch distinct IS globally distinct and nothing
+    needs a pre-dedup shuffle. The incidence then crosses ONE term-hash
+    -bucketed exchange (anti-singleton-group pattern: ~shuffle_partitions
+    groups, never one group per term) and each bucket builds its slice of
+    the index with a C sort + one grouped join. Output streams: a 100-TB
+    corpus yields a sharded index, never a driver-side dict.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .relational import (_key_buckets, actor_pool_size,
+                             coalesce_for_exchange)
+
+    P = max(16, shuffle_partitions or 0)
+
+    def incidence(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch["text"], "")
+        words = pc.split_pattern(pc.utf8_lower(text), " ")
+        lengths = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_pandas()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"term": flat,
+                          "doc_id": np.repeat(doc_ids, lengths)})
+        d = d[d["term"] != ""].drop_duplicates()
+        bkt = _key_buckets(d["term"].to_numpy(), P)
+        return pa.table({
+            "term": pa.array(d["term"].tolist(), pa.string()),
+            "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+            "__bucket": pa.array(bkt, pa.int64()),
+        })
+
+    def build_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        agg = g.groupby("term", sort=False)["doc_id"].agg(
+            df="size", postings=lambda s: ",".join(map(str, s)))
+        return agg.reset_index()[["term", "df", "postings"]]
+
+    inc = documents_ds.map_batches(incidence, batch_format="pyarrow")
+    return (coalesce_for_exchange(inc, P)
+            .groupby("__bucket")
+            .map_groups(build_bucket, batch_format="pandas")
+            .select_columns(["term", "df", "postings"]))

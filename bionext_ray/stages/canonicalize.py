@@ -84,8 +84,50 @@ def node_degrees(canonical_ds):
 
 
 def materialize_graph(canonical_ds, out_dir: str, n_buckets: int = 16):
-    """Write triples (hash-bucketed by subj) and node-degree tables."""
+    """Write triples (hash-bucketed by subj) and node-degree tables, then a
+    per-partition lineage manifest (`_GRAPH_MANIFEST.json`: row count per
+    bucket + totals + write time).
+
+    IDEMPOTENT REPLACE: parquet task files are uuid-named, so a bare
+    write_parquet into a non-empty target silently APPENDS a second copy of
+    every row (observed: re-running into a previous run's out_dir doubled
+    the graph). Any existing triples/nodes output under out_dir — complete
+    or half-written from a crashed run — is removed before writing.
+    Stage-level skip-if-done resume (don't recompute at all) is
+    ``runtime.run_kg_checkpointed``'s job; this function owns the
+    all-or-nothing materialization of ONE run's result.
+    """
+    import json
+    import os
+    import shutil
+    import time
+
+    tri_dir = os.path.join(out_dir, "triples")
+    node_dir = os.path.join(out_dir, "nodes")
+    for d in (tri_dir, node_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     bucketed = canonical_ds.map_batches(lambda b: _bucket(b, n_buckets),
                                         batch_format="pyarrow")
-    bucketed.write_parquet(f"{out_dir}/triples", partition_cols=["bucket"])
-    node_degrees(canonical_ds).write_parquet(f"{out_dir}/nodes")
+    bucketed.write_parquet(tri_dir, partition_cols=["bucket"])
+    node_degrees(canonical_ds).write_parquet(node_dir)
+
+    # lineage from the written files' parquet metadata (local footer reads,
+    # no data scan)
+    import pyarrow.parquet as pq
+    per_bucket = {}
+    for root, _, files in os.walk(tri_dir):
+        n = sum(pq.read_metadata(os.path.join(root, f)).num_rows
+                for f in files if f.endswith(".parquet"))
+        if n:
+            per_bucket[os.path.basename(root)] = n
+    n_nodes = sum(pq.read_metadata(os.path.join(node_dir, f)).num_rows
+                  for f in os.listdir(node_dir) if f.endswith(".parquet"))
+    manifest = {"triples_per_bucket": dict(sorted(per_bucket.items())),
+                "triples_rows": sum(per_bucket.values()),
+                "nodes_rows": n_nodes,
+                "n_buckets": n_buckets,
+                "written_at": time.time()}
+    with open(os.path.join(out_dir, "_GRAPH_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

@@ -288,3 +288,20 @@ def test_mixture_sample_rates_and_determinism():
                              default_rate=1.0, seed="5").to_pandas(),
     ]).reset_index(drop=True)
     pd.testing.assert_frame_equal(halves, out)
+
+
+def test_bucketed_agg_matches_pandas(ray_session):
+    """High-cardinality grouped agg (sum/min/max/count) vs pandas."""
+    from bionext_ray.ops.relational import bucketed_agg
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 5000, 20000)
+    v = rng.integers(-100, 100, 20000)
+    ds = _ds({"k": pa.array(k, pa.int64()),
+              "v": pa.array(v, pa.int64())}).repartition(8)
+    got = (bucketed_agg(ds, ["k"], [("v", "sum", "s"), ("v", "min", "lo"),
+                                    ("v", "max", "hi"),
+                                    ("v", "count", "n")])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (pd.DataFrame({"k": k, "v": v}).groupby("k")["v"]
+            .agg(s="sum", lo="min", hi="max", n="count").reset_index())
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])

@@ -52,3 +52,28 @@ def test_graph_materialize_buckets(ray_session, tmp_path):
     nodes = pds.dataset(str(tmp_path / "nodes")).to_table().to_pydict()
     deg = dict(zip(nodes["node"], nodes["degree"]))
     assert deg["HOT"] == 100 and deg["X"] == 100
+
+
+def test_graph_materialize_idempotent_rerun(ray_session, tmp_path):
+    """Re-running into the same out_dir must REPLACE the previous
+    materialization (uuid-named parquet files would otherwise append a
+    second copy of every row), and the lineage manifest must match."""
+    import json
+
+    import pyarrow.dataset as pds
+    import ray.data
+    from bionext_ray.stages.canonicalize import (canonicalize_stage,
+                                                 materialize_graph)
+
+    ds = ray.data.from_arrow(_triples_table(100, 50)).repartition(4)
+    canon = canonicalize_stage(ds, shuffle_partitions=2)
+    for _ in range(2):
+        man = materialize_graph(canon, str(tmp_path), n_buckets=8)
+    t = pds.dataset(str(tmp_path / "triples"), partitioning="hive").to_table()
+    assert t.num_rows == 51
+    assert man["triples_rows"] == 51
+    assert sum(man["triples_per_bucket"].values()) == 51
+    on_disk = json.load(open(tmp_path / "_GRAPH_MANIFEST.json"))
+    assert on_disk["triples_rows"] == 51
+    assert on_disk["nodes_rows"] == pds.dataset(
+        str(tmp_path / "nodes")).to_table().num_rows
