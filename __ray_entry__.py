@@ -469,6 +469,32 @@ def q_events_user_join(sf_dir: str):
                      hot_threshold=40, salts=8)
 
 
+def q_events_bloom_semi(sf_dir: str):
+    """Bloom-pruned exact semi join: events of users with at least one
+    finished ('F') order. The right-side key set is compressed to a FIXED
+    m-bit Bloom filter (per-block partials OR-merged on the driver,
+    broadcast once via ray.put), the big events stream is pruned with a
+    vectorized membership test, and the survivors finish with ONE exact
+    bucketed join where false positives die — so the output equals a plain
+    IN-subquery regardless of m. m_bits is deliberately small here (2^16
+    for ~650 keys at sf0.01) so the false-positive path is actually
+    exercised at test scale; at web scale the point is that m is CONSTANT
+    in the right-side key count, unlike semi_join_filter's raw key set."""
+    import pyarrow.compute as pc
+
+    from bionext_ray.ops.bloom import bloom_semi_join
+    events = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def only_f(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["o_orderstatus"], "F")).select(
+            ["o_custkey"])
+
+    f_orders = orders.map_batches(only_f, batch_format="pyarrow")
+    return bloom_semi_join(events, f_orders, ("user_id", "o_custkey"),
+                           ["event_id", "event_type"], m_bits=1 << 16)
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti-join (NOT EXISTS): dormant customers — no order since
     2001-01-01. Recent-order custkeys are reduced to per-block uniques in
@@ -1294,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q_pack_bins,
         "priority_revenue": q_priority_revenue,
         "events_user_join": q_events_user_join,
+        "events_bloom_semi": q_events_bloom_semi,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1458,6 +1485,12 @@ def oracle_sql() -> dict[str, str]:
         "events_user_join": """
             SELECT e.user_id, e.event_id, e.value, c.c_name
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "events_bloom_semi": """
+            SELECT e.user_id, e.event_id, e.event_type
+            FROM events e
+            WHERE e.user_id IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F')
         """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -1,0 +1,82 @@
+"""Unit tests for the Bloom-filter semi-join pruning (ops/bloom.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _ds(d):
+    return ray.data.from_arrow(pa.table(d))
+
+
+def test_bloom_no_false_negatives(ray_session):
+    """Every inserted key must test positive — the Bloom invariant the
+    exact-join finish relies on (a false negative would DROP a true
+    match, which no downstream step can recover)."""
+    from bionext_ray.ops.bloom import _set_bits, _test_bits
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 1 << 40, 5_000)
+    for m_bits, n_hashes in [(1 << 14, 4), (1 << 17, 4), (1 << 12, 2)]:
+        bits = _set_bits(keys, m_bits, n_hashes)
+        assert _test_bits(keys, bits, m_bits, n_hashes).all()
+
+
+def test_bloom_false_positive_rate_reasonable(ray_session):
+    """With m/n ~= 26 bits/key and k=4 the FP rate should be well under
+    5% (theory ~0.24% at 26 bits/key); assert a loose bound so the hash
+    mixing is actually independent-ish, not broken (h1 == h2 would give
+    ~100% FP at these sizes)."""
+    from bionext_ray.ops.bloom import _set_bits, _test_bits
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 1 << 40, 5_000)
+    probes = rng.integers(1 << 41, 1 << 42, 20_000)  # disjoint range
+    bits = _set_bits(keys, 1 << 17, 4)
+    fp = _test_bits(probes, bits, 1 << 17, 4).mean()
+    assert fp < 0.05, fp
+
+
+def test_build_bloom_merges_blocks(ray_session):
+    """Distributed build over a multi-block dataset must contain every
+    key from every block."""
+    from bionext_ray.ops.bloom import _test_bits, build_bloom
+    keys = np.arange(0, 3_000, dtype=np.int64)
+    ds = _ds({"k": pa.array(keys, pa.int64())}).repartition(7)
+    bits = build_bloom(ds, "k", m_bits=1 << 16, n_hashes=4)
+    assert _test_bits(keys, bits, 1 << 16, 4).all()
+
+
+def test_bloom_semi_join_exact_small_m(ray_session):
+    """With a DELIBERATELY tiny filter (m=256 bits for 40 keys → many
+    false positives survive the prune) the exact bucketed finish must
+    still produce exactly the IN-subquery row set."""
+    from bionext_ray.ops.bloom import bloom_semi_join
+    rng = np.random.default_rng(17)
+    big_k = rng.integers(0, 200, 2_000)
+    big = _ds({"k": pa.array(big_k, pa.int64()),
+               "v": pa.array(np.arange(2_000), pa.int64())}).repartition(5)
+    right_k = rng.choice(200, 40, replace=False).astype(np.int64)
+    right = _ds({"rk": pa.array(right_k, pa.int64())}).repartition(3)
+
+    out = bloom_semi_join(big, right, ("k", "rk"), ["v"],
+                          m_bits=256, n_hashes=2).to_pandas()
+    exp = pd.DataFrame({"k": big_k, "v": np.arange(2_000)})
+    exp = exp[exp["k"].isin(set(right_k.tolist()))]
+    out = out.sort_values(["k", "v"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "v"]], exp[["k", "v"]])
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    """String keys go through the same hash path (pandas hash_array
+    handles object dtype); duplicate right keys must not duplicate
+    output rows (semi-join, not inner-join, semantics)."""
+    from bionext_ray.ops.bloom import bloom_semi_join
+    big = _ds({"u": pa.array([f"url{i % 7}" for i in range(50)]),
+               "i": pa.array(list(range(50)), pa.int64())})
+    right = _ds({"u": pa.array(["url1", "url3", "url3", "nope"])})
+    out = bloom_semi_join(big, right, "u", ["i"],
+                          m_bits=1 << 12).to_pandas()
+    assert sorted(out["u"].unique()) == ["url1", "url3"]
+    # 50 rows over 7 url buckets: url1 and url3 appear ceil-ish 7 times
+    assert len(out) == sum(1 for i in range(50) if i % 7 in (1, 3))
