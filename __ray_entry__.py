@@ -659,6 +659,28 @@ def q_triangles(sf_dir: str):
     return triangle_count(edges, shuffle_partitions=sp)
 
 
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS: hop distance (≤3) from the seed set
+    {nodes ≡ 0 mod 97} over the lineitem-derived edge graph — the k-hop
+    neighbourhood query a user runs on the materialized KG. The oracle is
+    a bounded recursive CTE with MIN(d) per node; the engine's frontier
+    expansion (broadcast sorted-frontier membership per edge batch while
+    node state fits; shuffle_join + EXCEPT dataflow beyond) must produce
+    the identical (node, dist) set."""
+    import pyarrow.compute as pc
+
+    from bionext_ray.ops.graph import bfs_hops, node_table
+    edges, sp = _lineitem_edges(sf_dir)
+
+    def pick_seeds(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v % 97 == 0))
+
+    seeds = node_table(edges, shuffle_partitions=sp).map_batches(
+        pick_seeds, batch_format="pyarrow")
+    return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
+
+
 def q_custkeys_no_orders_setop(sf_dir: str):
     """EXCEPT DISTINCT: custkeys with no order since 2001-01-01 (the
     `customers_no_orders` dormancy cutoff) — the big-big distributed
@@ -1321,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": q_priority_revenue,
         "events_user_join": q_events_user_join,
         "events_bloom_semi": q_events_bloom_semi,
+        "bfs_hops": q_bfs_hops,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1853,6 +1876,26 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "bfs_hops": """
+            WITH RECURSIVE
+                 mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
+                          FROM lineitem),
+                 edges AS (SELECT DISTINCT
+                               l_orderkey % (SELECT m FROM mods) AS src,
+                               l_partkey % (SELECT m FROM mods) AS dst
+                           FROM lineitem),
+                 nodes AS (SELECT src AS v FROM edges
+                           UNION SELECT dst AS v FROM edges),
+                 seeds AS (SELECT v FROM nodes WHERE v % 97 = 0),
+                 walk(node, d) AS (
+                     SELECT v, 0 FROM seeds
+                     UNION
+                     SELECT e.dst, w.d + 1
+                     FROM walk w JOIN edges e ON w.node = e.src
+                     WHERE w.d < 3
+                 )
+            SELECT node, MIN(d) AS dist FROM walk GROUP BY node
         """,
         "custkeys_no_orders_setop": """
             SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer

@@ -394,3 +394,123 @@ def _pagerank_broadcast(edges, nodes, deg, n_nodes, iters, damping_pct,
     return ray.data.from_arrow(pa.table({
         "node": pa.array(node_arr, pa.int64()),
         "pr_scaled": pa.array(pr, pa.int64())}))
+
+
+def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
+             shuffle_partitions: int | None = None,
+             broadcast_nodes_max: int = 5_000_000):
+    """Multi-source BFS hop distance over a directed edge table: every node
+    reachable from ``seeds_ds`` (column ``v``) within ``max_hops`` edges,
+    with its hop distance (seeds themselves at 0). The k-hop-neighbourhood
+    query a user runs against the materialized KG ("everything within 3
+    hops of these entities"). Returns (node, dist); nodes first reachable
+    beyond ``max_hops`` are absent. Bit-deterministic — the DuckDB oracle
+    is a bounded recursive CTE with MIN(d) per node.
+
+    Scale shape — identical gating to ``pagerank``: the frontier/visited
+    STATE is node-sized (8 B/node), edge-table-sized never. While it fits
+    (``broadcast_nodes_max``), each hop is ONE streaming pass over the
+    edges (ray.put the sorted frontier -> vectorized searchsorted
+    membership per batch -> per-block unique dsts back to the driver,
+    bounded by |V|) — no edge exchange at all. Beyond the threshold the
+    same frontier expansion runs as dataflow: frontier x edges
+    shuffle_join, bucketed distinct of the reached dsts, and a set_op
+    EXCEPT against the visited table per hop — O(max_hops) exchanges
+    total, each touching only frontier-adjacent edges' dst columns.
+    """
+    import ray
+    import ray.data
+
+    from bionext_ray.ops.relational import bucketed_agg, set_op, shuffle_join
+
+    edges = distinct_edges(
+        edges_ds, shuffle_partitions=shuffle_partitions).materialize()
+    n_nodes = node_table(
+        edges, shuffle_partitions=shuffle_partitions).count()
+
+    if n_nodes <= broadcast_nodes_max:
+        seed_arr = np.unique(np.concatenate(
+            [t["v"].to_numpy(zero_copy_only=False)
+             for t in ray.get(seeds_ds.to_arrow_refs()) if t.num_rows]
+            or [np.array([], np.int64)]).astype(np.int64))
+        visited = seed_arr
+        out_nodes, out_dists = [seed_arr], [np.zeros(len(seed_arr),
+                                                     np.int64)]
+        frontier = seed_arr
+        for hop in range(1, max_hops + 1):
+            if not len(frontier):
+                break
+            ref = ray.put(frontier)                   # sorted, unique
+
+            def reach(b: pa.Table, _ref=ref) -> pa.Table:
+                f = ray.get(_ref)                     # zero-copy read
+                s = b["src"].to_numpy(zero_copy_only=False)
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                idx = np.minimum(np.searchsorted(f, s), len(f) - 1)
+                return pa.table({"v": pa.array(
+                    np.unique(d[f[idx] == s]), pa.int64())})
+
+            parts = [t["v"].to_numpy(zero_copy_only=False)
+                     for t in ray.get(edges.map_batches(
+                         reach, batch_format="pyarrow").to_arrow_refs())
+                     if t.num_rows]
+            cand = (np.unique(np.concatenate(parts)) if parts
+                    else np.array([], np.int64))
+            newly = np.setdiff1d(cand, visited, assume_unique=True)
+            if len(newly):
+                out_nodes.append(newly)
+                out_dists.append(np.full(len(newly), hop, np.int64))
+                visited = np.union1d(visited, newly)
+            frontier = newly
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+            "dist": pa.array(np.concatenate(out_dists), pa.int64())}))
+
+    # ---- exchange path: node state itself sharded in the object store ----
+    def onecol(b: pa.Table) -> pa.Table:
+        u = np.unique(b["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "_c": pa.array(np.ones(len(u), np.int64))})
+
+    frontier = bucketed_agg(
+        seeds_ds.map_batches(onecol, batch_format="pyarrow"),
+        ["v"], [("_c", "sum", "_c")],
+        shuffle_partitions=shuffle_partitions
+    ).select_columns(["v"]).materialize()
+    visited_ds = frontier
+
+    def with_dist(ds, hop):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["v"],
+                "dist": pa.array(np.full(b.num_rows, hop, np.int64),
+                                 pa.int64())})
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    parts = [with_dist(frontier, 0)]
+    for hop in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        reached = shuffle_join(frontier, edges, on=("v", "src"),
+                               left_cols=[], right_cols=["dst"],
+                               shuffle_partitions=shuffle_partitions)
+
+        def dsts(b: pa.Table) -> pa.Table:
+            u = np.unique(b["dst"].to_numpy(zero_copy_only=False))
+            return pa.table({"v": pa.array(u, pa.int64()),
+                             "_c": pa.array(np.ones(len(u), np.int64))})
+
+        cand = bucketed_agg(
+            reached.map_batches(dsts, batch_format="pyarrow"),
+            ["v"], [("_c", "sum", "_c")],
+            shuffle_partitions=shuffle_partitions).select_columns(["v"])
+        newly = set_op(cand, visited_ds, ["v"], "except",
+                       shuffle_partitions=shuffle_partitions).materialize()
+        parts.append(with_dist(newly, hop))
+        visited_ds = visited_ds.union(newly).materialize()
+        frontier = newly
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

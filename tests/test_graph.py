@@ -126,3 +126,63 @@ def test_cube_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got.astype({"sv": "int64", "nv": "int64"}),
                                   want.astype({"sv": "int64",
                                                "nv": "int64"}))
+
+
+def _bfs_brute(edges, seeds, max_hops):
+    from collections import deque
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for w in adj.get(u, ()):
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+def test_bfs_hops_matches_bruteforce(ray_session):
+    from bionext_ray.ops.graph import bfs_hops
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    seeds = [0, 7, 13]
+    got = bfs_hops(
+        _ds({"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}).repartition(5),
+        _ds({"v": pa.array(seeds, pa.int64())}),
+        max_hops=3).to_pandas()
+    want = _bfs_brute(zip(src.tolist(), dst.tolist()), seeds, 3)
+    assert dict(zip(got["node"], got["dist"])) == want
+
+
+def test_bfs_hops_exchange_path_matches_broadcast(ray_session):
+    """broadcast_nodes_max=0 forces the all-exchange dataflow path; both
+    paths must emit the identical (node, dist) set."""
+    from bionext_ray.ops.graph import bfs_hops
+    rng = np.random.default_rng(29)
+    src = rng.integers(0, 40, 200)
+    dst = rng.integers(0, 40, 200)
+    e = _ds({"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}).repartition(4)
+    s = _ds({"v": pa.array([1, 2], pa.int64())})
+    a = bfs_hops(e, s, max_hops=2).to_pandas()
+    b = bfs_hops(e, s, max_hops=2, broadcast_nodes_max=0).to_pandas()
+    assert (dict(zip(a["node"], a["dist"]))
+            == dict(zip(b["node"], b["dist"])))
+
+
+def test_bfs_hops_isolated_seed_and_empty_frontier(ray_session):
+    """A seed with no out-edges still appears at dist 0; BFS terminates
+    early when the frontier drains before max_hops."""
+    from bionext_ray.ops.graph import bfs_hops
+    e = _ds({"src": pa.array([1], pa.int64()),
+             "dst": pa.array([2], pa.int64())})
+    s = _ds({"v": pa.array([1, 99], pa.int64())})
+    got = bfs_hops(e, s, max_hops=5).to_pandas()
+    assert dict(zip(got["node"], got["dist"])) == {1: 0, 99: 0, 2: 1}
