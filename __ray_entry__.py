@@ -681,6 +681,19 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_heavy_users(sf_dir: str):
+    """Exact heavy hitters at sketch cost: users with >= 70 events. Per
+    batch, exact in-batch counts keep at most `capacity` survivors (every
+    dropped key lost < n_b/(capacity+1) mass), one bucketed sum over the
+    survivors gives partial counts whose undercount is < N/(capacity+1),
+    candidates >= threshold - that bound are a guaranteed superset, and a
+    second exact pass over just the candidates finishes. Oracle is the
+    plain HAVING query — output identical for any capacity."""
+    from bionext_ray.ops.sketch import heavy_hitters
+    events = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(events, "user_id", threshold=70, capacity=1024)
+
+
 def q_custkeys_no_orders_setop(sf_dir: str):
     """EXCEPT DISTINCT: custkeys with no order since 2001-01-01 (the
     `customers_no_orders` dormancy cutoff) — the big-big distributed
@@ -1344,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_join": q_events_user_join,
         "events_bloom_semi": q_events_bloom_semi,
         "bfs_hops": q_bfs_hops,
+        "heavy_users": q_heavy_users,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1876,6 +1890,10 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "heavy_users": """
+            SELECT user_id, COUNT(*) AS cnt FROM events
+            GROUP BY user_id HAVING COUNT(*) >= 70
         """,
         "bfs_hops": """
             WITH RECURSIVE

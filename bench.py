@@ -55,6 +55,7 @@ def _run_bench() -> dict:
         "distinct_users_kmv", "priority_revenue", "events_running_total",
         "pagerank", "pii_redact", "triangles", "orders_rollup",
         "top_tokens", "events_user_join", "training_mix",
+        "events_bloom_semi", "bfs_hops",
     ]
 
     per_query = {}

@@ -122,3 +122,115 @@ def kmv_distinct(ds, col: str, k: int = 64):
     est, exact = kmv_estimate(merged, k)
     return pa.table({"n_distinct_est": pa.array([est], pa.int64()),
                      "is_exact": pa.array([exact], pa.bool_())})
+
+
+def heavy_hitters(ds, key_col: str, threshold: int, capacity: int = 4096,
+                  shuffle_partitions: int | None = None):
+    """EXACT frequency heavy hitters: every key with global row count
+    >= ``threshold``, with its exact count — ``GROUP BY key HAVING
+    COUNT(*) >= T`` at sketch cost. Output: (key, cnt).
+
+    The full grouped count is the wrong shape when keys are
+    ~|input|-cardinality and only the few hot ones matter (boilerplate
+    URLs, spam n-grams, hot users): almost everything crossing the
+    exchange is below threshold. This runs the space-saving idea as two
+    bounded passes instead:
+
+    Pass 1 (sketch): per batch, EXACT in-batch counts (vectorized
+    pyarrow ``value_counts`` — a batch always fits worker memory), keep
+    only keys whose in-batch count exceeds ``n_b // (capacity+1)`` — at
+    most ``capacity`` keys can survive per batch, and every dropped key
+    lost < n_b/(capacity+1) of its mass there. Survivor (key, cnt)
+    partials merge in ONE bucketed sum; any key's global undercount is
+    then < E = N/(capacity+1). Candidates = partial >= threshold - E:
+    a guaranteed SUPERSET of the true heavy hitters, at most
+    N/(threshold - E) keys (driver-bounded, documented).
+
+    Pass 2 (exact): candidate keys broadcast once via ray.put, the input
+    re-streamed through a vectorized ``is_in`` filter, exact bucketed
+    count of the survivors, final filter >= threshold. Output equals the
+    plain HAVING query for ANY capacity — capacity only bounds what
+    crosses the exchange. Raises if threshold <= E (capacity too small
+    to prune soundly: raise capacity or run bucketed_agg directly).
+    """
+    import ray
+
+    from bionext_ray.ops.relational import bucketed_agg
+
+    n_total = ds.count()
+    err_bound = n_total // (capacity + 1) + 1
+    if threshold <= err_bound:
+        raise ValueError(
+            f"threshold {threshold} <= sketch error bound {err_bound} "
+            f"(N={n_total}, capacity={capacity}); raise capacity above "
+            f"~{2 * n_total // max(threshold, 1)} or use bucketed_agg")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(b[key_col].combine_chunks()
+                             if isinstance(b[key_col], pa.ChunkedArray)
+                             else b[key_col])
+        cnt = vc.field("counts").cast(pa.int64())
+        keep = pc.greater(cnt, pa.scalar(b.num_rows // (capacity + 1),
+                                         pa.int64()))
+        return pa.table({key_col: vc.field("values").filter(keep),
+                         "cnt": cnt.filter(keep)})
+
+    partials = bucketed_agg(
+        ds.select_columns([key_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [key_col], [("cnt", "sum", "cnt")],
+        shuffle_partitions=shuffle_partitions)
+
+    cut = threshold - err_bound
+
+    def candidates_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(b["cnt"],
+                                         pa.scalar(cut, pa.int64())))
+
+    # candidate keys to the driver: <= N/(threshold - E) rows by the
+    # sketch bound — the same bounded-concat contract as brute-force top-k
+    cand_blocks = ray.get(partials.map_batches(
+        candidates_only, batch_format="pyarrow").to_arrow_refs())
+    # empty exchange buckets surface as 0-row NO-COLUMN tables — only
+    # blocks that actually carry the key column count
+    cand_arrays = [t[key_col] for t in cand_blocks
+                   if t.num_rows and key_col in t.column_names]
+    if not cand_arrays:
+        ktype = next((t[key_col].type for t in cand_blocks
+                      if key_col in t.column_names), pa.int64())
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "cnt": pa.array([], pa.int64())})
+        import ray.data
+        return ray.data.from_arrow(empty)
+    cand = pa.concat_arrays([a.combine_chunks() if isinstance(
+        a, pa.ChunkedArray) else a for a in cand_arrays])
+    cand_ref = ray.put(cand)
+
+    class Member:
+        def __init__(self):
+            self.keys = ray.get(cand_ref)        # zero-copy local read
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.filter(pc.is_in(b[key_col], value_set=self.keys))
+
+    from bionext_ray.ops.relational import actor_pool_size
+    survivors = ds.select_columns([key_col]).map_batches(
+        Member, batch_format="pyarrow", concurrency=actor_pool_size())
+
+    def one(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cnt", pa.array(np.ones(b.num_rows, np.int64), pa.int64()))
+
+    exact = bucketed_agg(survivors.map_batches(one, batch_format="pyarrow"),
+                         [key_col], [("cnt", "sum", "cnt")],
+                         shuffle_partitions=shuffle_partitions)
+
+    def final(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(
+            b["cnt"], pa.scalar(threshold, pa.int64())))
+
+    return exact.map_batches(final, batch_format="pyarrow")

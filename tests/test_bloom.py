@@ -80,3 +80,41 @@ def test_bloom_semi_join_string_keys(ray_session):
     assert sorted(out["u"].unique()) == ["url1", "url3"]
     # 50 rows over 7 url buckets: url1 and url3 appear ceil-ish 7 times
     assert len(out) == sum(1 for i in range(50) if i % 7 in (1, 3))
+
+
+# ---- heavy hitters (ops/sketch.py) — same sketch-prune + exact-finish
+# motif as the Bloom semi join, so the tests live together ----
+
+def test_heavy_hitters_exact_vs_pandas(ray_session):
+    """Zipf-ish key mix, deliberately tiny capacity (aggressive per-batch
+    pruning, err bound ~N/17): output must still equal the plain
+    HAVING-count answer."""
+    import pandas as pd
+    from bionext_ray.ops.sketch import heavy_hitters
+    rng = np.random.default_rng(31)
+    keys = rng.zipf(1.5, 5_000) % 400
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64())})).repartition(8)
+    got = heavy_hitters(ds, "k", threshold=400, capacity=16).to_pandas()
+    want = pd.Series(keys).value_counts()
+    want = want[want >= 400]
+    assert dict(zip(got["k"], got["cnt"])) == want.to_dict()
+
+
+def test_heavy_hitters_string_keys_and_empty(ray_session):
+    from bionext_ray.ops.sketch import heavy_hitters
+    vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 5
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals)})).repartition(3)
+    got = heavy_hitters(ds, "k", threshold=30, capacity=64).to_pandas()
+    assert dict(zip(got["k"], got["cnt"])) == {"a": 50, "b": 30}
+    none = heavy_hitters(ds, "k", threshold=60, capacity=64).to_pandas()
+    assert len(none) == 0
+
+
+def test_heavy_hitters_rejects_unsound_capacity(ray_session):
+    import pytest as _pytest
+    from bionext_ray.ops.sketch import heavy_hitters
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.zeros(1000, np.int64), pa.int64())}))
+    with _pytest.raises(ValueError):
+        heavy_hitters(ds, "k", threshold=5, capacity=16)  # E ~ 59 > 5
