@@ -681,6 +681,40 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_events_window_frames(sf_dir: str):
+    """Bounded-frame window functions: 4-row rolling sum/max and LAG(1)
+    per user ordered by (ts, event_id) — one user-bucketed exchange, then
+    vectorized grouped rolling/shift C kernels per bucket across all the
+    bucket's users at once. Milli-units (floor(value*1000)) keep every
+    number integer so the SQL WINDOW-clause oracle matches exactly;
+    fill=-1 mirrors the oracle's COALESCE(LAG(...), -1)."""
+    from bionext_ray.ops.relational import estimate_partitions, window_funcs
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "ts": batch["ts"],
+            "user_id": batch["user_id"],
+            "v_milli": pa.array(v.astype(np.int64), pa.int64()),
+        })
+
+    sp = estimate_partitions(f"{sf_dir}/events.parquet")
+    out = window_funcs(ev.map_batches(prep, batch_format="pyarrow"),
+                       "user_id", ["ts", "event_id"],
+                       [("rolling_sum", "v_milli", 4, "roll4_milli"),
+                        ("rolling_max", "v_milli", 4, "max4_milli"),
+                        ("lag", "v_milli", 1, "prev_milli")],
+                       fill=-1, shuffle_partitions=sp)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "roll4_milli",
+                         "max4_milli", "prev_milli"])
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def q_heavy_users(sf_dir: str):
     """Exact heavy hitters at sketch cost: users with >= 70 events. Per
     batch, exact in-batch counts keep at most `capacity` survivors (every
@@ -1358,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bloom_semi": q_events_bloom_semi,
         "bfs_hops": q_bfs_hops,
         "heavy_users": q_heavy_users,
+        "events_window_frames": q_events_window_frames,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1894,6 +1929,20 @@ def oracle_sql() -> dict[str, str]:
         "heavy_users": """
             SELECT user_id, COUNT(*) AS cnt FROM events
             GROUP BY user_id HAVING COUNT(*) >= 70
+        """,
+        "events_window_frames": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(floor(value * 1000) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(SUM(v) OVER w4 AS BIGINT) AS roll4_milli,
+                   CAST(MAX(v) OVER w4 AS BIGINT) AS max4_milli,
+                   COALESCE(LAG(v, 1) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                            -1) AS prev_milli
+            FROM e
+            WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "bfs_hops": """
             WITH RECURSIVE

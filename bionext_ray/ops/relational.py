@@ -839,6 +839,67 @@ def running_agg(ds, key_col: str, order_cols: list[str], val_col: str,
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def window_funcs(ds, key_col: str, order_cols: list[str],
+                 specs: list[tuple[str, str, int, str]],
+                 fill=None, shuffle_partitions: int | None = None):
+    """Per-key ordered window functions beyond the running frame:
+    bounded ROWS frames and offsets —
+
+      ("rolling_sum"|"rolling_min"|"rolling_max", col, w, alias)
+          = f(col) OVER (PARTITION BY key ORDER BY order
+                         ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)
+      ("lag"|"lead", col, n, alias)
+          = LAG/LEAD(col, n) OVER (PARTITION BY key ORDER BY order)
+
+    Same exchange shape as ``running_agg`` (any exact window function
+    must co-locate its whole partition in order): ONE key-bucketed
+    exchange, then per bucket a single sort + pandas grouped
+    rolling/shift — C kernels across ALL keys of the bucket at once,
+    never per-key Python. Integer columns stay integer (rolling emits
+    float; cast back — exact below 2^53). ``fill`` replaces the
+    out-of-frame NULLs of lag/lead (pass an int to keep the column
+    integer and the SQL mirror a COALESCE); None leaves them null.
+    Ties in order_cols need a unique tiebreaker for determinism, as in
+    SQL."""
+    import numpy as np
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        karr = b[key_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__bucket", pa.array(_key_buckets(karr, P), pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket")
+             .sort_values([key_col] + order_cols, kind="mergesort")
+             .reset_index(drop=True))
+        gb = g.groupby(key_col, sort=False)
+        for fun, col, param, alias in specs:
+            was_int = pd.api.types.is_integer_dtype(g[col])
+            if fun.startswith("rolling_"):
+                r = getattr(gb[col].rolling(param, min_periods=1),
+                            fun[len("rolling_"):])()
+                vals = r.reset_index(level=0, drop=True)
+                g[alias] = (vals.astype(np.int64) if was_int else vals)
+            elif fun in ("lag", "lead"):
+                vals = gb[col].shift(param if fun == "lag" else -param)
+                if fill is not None:
+                    vals = vals.fillna(fill)
+                    if was_int:
+                        vals = vals.astype(np.int64)
+                g[alias] = vals
+            else:
+                raise ValueError(f"unknown window function {fun!r}")
+        return g
+
+    return (coalesce_for_exchange(
+                ds.map_batches(add_bucket, batch_format="pyarrow"), P)
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def hopping_window(events_ds, key_col: str, ts_col: str, width_s: int,
                    hop_s: int, specs: list[tuple[str, str, str]],
                    shuffle_partitions: int | None = 16):

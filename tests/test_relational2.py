@@ -305,3 +305,47 @@ def test_bucketed_agg_matches_pandas(ray_session):
     want = (pd.DataFrame({"k": k, "v": v}).groupby("k")["v"]
             .agg(s="sum", lo="min", hi="max", n="count").reset_index())
     pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+
+def test_window_funcs_matches_pandas(ray_session):
+    """Rolling sum/min/max + lag/lead vs the single-node pandas oracle,
+    across bucket boundaries (many keys, several partitions)."""
+    from bionext_ray.ops.relational import window_funcs
+    rng = np.random.default_rng(41)
+    n = 600
+    k = rng.integers(0, 12, n)
+    o = rng.permutation(n)
+    v = rng.integers(-50, 50, n)
+    ds = _ds({"k": pa.array(k, pa.int64()), "o": pa.array(o, pa.int64()),
+              "v": pa.array(v, pa.int64())}).repartition(5)
+    got = (window_funcs(ds, "k", ["o"],
+                        [("rolling_sum", "v", 3, "rs"),
+                         ("rolling_min", "v", 3, "rmin"),
+                         ("lag", "v", 1, "lg"),
+                         ("lead", "v", 2, "ld")], fill=-999)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    df = (pd.DataFrame({"k": k, "o": o, "v": v})
+          .sort_values(["k", "o"]).reset_index(drop=True))
+    gb = df.groupby("k", sort=False)
+    df["rs"] = gb["v"].rolling(3, min_periods=1).sum().reset_index(
+        level=0, drop=True).astype("int64")
+    df["rmin"] = gb["v"].rolling(3, min_periods=1).min().reset_index(
+        level=0, drop=True).astype("int64")
+    df["lg"] = gb["v"].shift(1).fillna(-999).astype("int64")
+    df["ld"] = gb["v"].shift(-2).fillna(-999).astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["k", "o", "v", "rs", "rmin", "lg", "ld"]], df)
+
+
+def test_window_funcs_nullable_lag_and_float(ray_session):
+    """fill=None leaves out-of-frame lag null; float columns stay float."""
+    from bionext_ray.ops.relational import window_funcs
+    ds = _ds({"k": pa.array([1, 1, 1], pa.int64()),
+              "o": pa.array([1, 2, 3], pa.int64()),
+              "v": pa.array([1.5, 2.5, 3.5], pa.float64())})
+    got = (window_funcs(ds, "k", ["o"],
+                        [("rolling_sum", "v", 2, "rs"),
+                         ("lag", "v", 1, "lg")])
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    assert got["rs"].tolist() == [1.5, 4.0, 6.0]
+    assert np.isnan(got["lg"].iloc[0]) and got["lg"].tolist()[1:] == [1.5, 2.5]
