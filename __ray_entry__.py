@@ -705,12 +705,16 @@ def q_events_window_frames(sf_dir: str):
                        "user_id", ["ts", "event_id"],
                        [("rolling_sum", "v_milli", 4, "roll4_milli"),
                         ("rolling_max", "v_milli", 4, "max4_milli"),
-                        ("lag", "v_milli", 1, "prev_milli")],
+                        ("lag", "v_milli", 1, "prev_milli"),
+                        ("rank", "v_milli", 0, "v_rank"),
+                        ("dense_rank", "v_milli", 0, "v_drank"),
+                        ("ntile", None, 5, "tile5")],
                        fill=-1, shuffle_partitions=sp)
 
     def shape(b: pa.Table) -> pa.Table:
         return b.select(["event_id", "user_id", "roll4_milli",
-                         "max4_milli", "prev_milli"])
+                         "max4_milli", "prev_milli", "v_rank",
+                         "v_drank", "tile5"])
 
     return out.map_batches(shape, batch_format="pyarrow")
 
@@ -1939,7 +1943,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(v) OVER w4 AS BIGINT) AS max4_milli,
                    COALESCE(LAG(v, 1) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id),
-                            -1) AS prev_milli
+                            -1) AS prev_milli,
+                   CAST(RANK() OVER (PARTITION BY user_id ORDER BY v)
+                        AS BIGINT) AS v_rank,
+                   CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                                           ORDER BY v)
+                        AS BIGINT) AS v_drank,
+                   CAST(NTILE(5) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                        AS BIGINT) AS tile5
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)

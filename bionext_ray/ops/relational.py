@@ -850,6 +850,14 @@ def window_funcs(ds, key_col: str, order_cols: list[str],
                          ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)
       ("lag"|"lead", col, n, alias)
           = LAG/LEAD(col, n) OVER (PARTITION BY key ORDER BY order)
+      ("rank"|"dense_rank", col, 0, alias)
+          = RANK/DENSE_RANK() OVER (PARTITION BY key ORDER BY col)
+            (ranked by the VALUE column, ties share a rank — pandas
+            grouped rank(method='min'/'dense'), order_cols irrelevant)
+      ("ntile", None, n, alias)
+          = NTILE(n) OVER (PARTITION BY key ORDER BY order)
+            (SQL distribution: the first n_rows mod n tiles get the
+            extra row)
 
     Same exchange shape as ``running_agg`` (any exact window function
     must co-locate its whole partition in order): ONE key-bucketed
@@ -877,7 +885,8 @@ def window_funcs(ds, key_col: str, order_cols: list[str],
              .reset_index(drop=True))
         gb = g.groupby(key_col, sort=False)
         for fun, col, param, alias in specs:
-            was_int = pd.api.types.is_integer_dtype(g[col])
+            was_int = (col is not None
+                       and pd.api.types.is_integer_dtype(g[col]))
             if fun.startswith("rolling_"):
                 r = getattr(gb[col].rolling(param, min_periods=1),
                             fun[len("rolling_"):])()
@@ -890,6 +899,20 @@ def window_funcs(ds, key_col: str, order_cols: list[str],
                     if was_int:
                         vals = vals.astype(np.int64)
                 g[alias] = vals
+            elif fun in ("rank", "dense_rank"):
+                g[alias] = gb[col].rank(
+                    method="min" if fun == "rank" else "dense"
+                ).astype(np.int64)
+            elif fun == "ntile":
+                rn = gb.cumcount().to_numpy()           # 0-based in order
+                n_rows = gb[key_col].transform("size").to_numpy()
+                q, r = n_rows // param, n_rows % param
+                big = rn < (q + 1) * r                  # oversize tiles
+                tile = np.where(
+                    big, rn // np.maximum(q + 1, 1),
+                    np.where(q > 0, r + (rn - (q + 1) * r) //
+                             np.maximum(q, 1), rn))
+                g[alias] = (tile + 1).astype(np.int64)
             else:
                 raise ValueError(f"unknown window function {fun!r}")
         return g

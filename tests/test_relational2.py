@@ -349,3 +349,43 @@ def test_window_funcs_nullable_lag_and_float(ray_session):
            .to_pandas().sort_values("o").reset_index(drop=True))
     assert got["rs"].tolist() == [1.5, 4.0, 6.0]
     assert np.isnan(got["lg"].iloc[0]) and got["lg"].tolist()[1:] == [1.5, 2.5]
+
+
+def test_window_funcs_rank_family_matches_duckdb(ray_session):
+    """rank / dense_rank (by value, with ties) and NTILE distribution vs
+    DuckDB on the same frame."""
+    import duckdb
+    from bionext_ray.ops.relational import window_funcs
+    rng = np.random.default_rng(43)
+    n = 300
+    k = rng.integers(0, 7, n)
+    o = rng.permutation(n)
+    v = rng.integers(0, 9, n)          # deliberately heavy ties
+    ds = _ds({"k": pa.array(k, pa.int64()), "o": pa.array(o, pa.int64()),
+              "v": pa.array(v, pa.int64())}).repartition(4)
+    got = (window_funcs(ds, "k", ["o"],
+                        [("rank", "v", 0, "r"),
+                         ("dense_rank", "v", 0, "dr"),
+                         ("ntile", None, 4, "t4")])
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    df = pd.DataFrame({"k": k, "o": o, "v": v})
+    want = duckdb.query("""
+        SELECT k, o,
+               CAST(RANK() OVER (PARTITION BY k ORDER BY v) AS BIGINT) r,
+               CAST(DENSE_RANK() OVER (PARTITION BY k ORDER BY v)
+                    AS BIGINT) dr,
+               CAST(NTILE(4) OVER (PARTITION BY k ORDER BY o)
+                    AS BIGINT) t4
+        FROM df ORDER BY k, o""").df()
+    pd.testing.assert_frame_equal(
+        got[["k", "o", "r", "dr", "t4"]].astype("int64"),
+        want.astype("int64"))
+
+
+def test_window_funcs_ntile_more_tiles_than_rows(ray_session):
+    from bionext_ray.ops.relational import window_funcs
+    ds = _ds({"k": pa.array([1, 1, 1], pa.int64()),
+              "o": pa.array([3, 1, 2], pa.int64())})
+    got = (window_funcs(ds, "k", ["o"], [("ntile", None, 10, "t")])
+           .to_pandas().sort_values("o"))
+    assert got["t"].tolist() == [1, 2, 3]
