@@ -681,6 +681,17 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_adjacency(sf_dir: str):
+    """Adjacency-list materialization of the lineitem-derived graph:
+    (node, out_deg, ascending comma-joined distinct neighbors) — the
+    partitioned adjacency table the north rule's graph materialization
+    writes (materialize_graph emits the same shape for canonical
+    triples). Inverted-index exchange shape; string_agg ORDER BY oracle."""
+    from bionext_ray.ops.graph import adjacency_list
+    edges, sp = _lineitem_edges(sf_dir)
+    return adjacency_list(edges, shuffle_partitions=sp)
+
+
 def q_events_window_frames(sf_dir: str):
     """Bounded-frame window functions: 4-row rolling sum/max and LAG(1)
     per user ordered by (ts, event_id) — one user-bucketed exchange, then
@@ -1397,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,
         "heavy_users": q_heavy_users,
         "events_window_frames": q_events_window_frames,
+        "adjacency": q_adjacency,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1955,6 +1967,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "adjacency": """
+            WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
+                          FROM lineitem),
+                 edges AS (SELECT DISTINCT
+                               l_orderkey % (SELECT m FROM mods) AS src,
+                               l_partkey % (SELECT m FROM mods) AS dst
+                           FROM lineitem)
+            SELECT src AS node, COUNT(*) AS out_deg,
+                   string_agg(CAST(dst AS VARCHAR), ','
+                              ORDER BY dst) AS neighbors
+            FROM edges GROUP BY src
         """,
         "bfs_hops": """
             WITH RECURSIVE

@@ -514,3 +514,42 @@ def bfs_hops(edges_ds, seeds_ds, max_hops: int = 3,
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def adjacency_list(edges_ds, src: str = "src", dst: str = "dst",
+                   shuffle_partitions: int | None = None):
+    """Adjacency-list materialization: (node, out_deg, neighbors) with the
+    DISTINCT out-neighbors ascending, comma-joined — the partitioned
+    adjacency table the north rule's "graph materialization" names, in the
+    inverted-index shape (ops/textstats.py::inverted_index): per-block
+    distinct (src, dst) incidence, ONE src-hash-bucketed exchange (~P
+    groups, never one group per node), per bucket a final drop_duplicates
+    + C sort + grouped join. Output streams out sharded — a 10^12-edge
+    graph never concentrates on the driver."""
+    import pandas as pd
+
+    from bionext_ray.ops.relational import _key_buckets, coalesce_for_exchange
+
+    P = max(16, shuffle_partitions or 0)
+
+    def incidence(b: pa.Table) -> pa.Table:
+        # type-agnostic (int node ids OR canonical string entity ids)
+        t = pa.table({src: b[src], dst: b[dst]}).group_by(
+            [src, dst]).aggregate([])                # block-local distinct
+        s = t[src].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array(_key_buckets(s, P), pa.int64()))
+
+    def build_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket").drop_duplicates([src, dst])
+             .sort_values([src, dst], kind="mergesort"))
+        agg = g.groupby(src, sort=False)[dst].agg(
+            out_deg="size", neighbors=lambda s: ",".join(map(str, s)))
+        out = agg.reset_index().rename(columns={src: "node"})
+        return out[["node", "out_deg", "neighbors"]]
+
+    inc = edges_ds.map_batches(incidence, batch_format="pyarrow")
+    return (coalesce_for_exchange(inc, P)
+            .groupby("__bucket")
+            .map_groups(build_bucket, batch_format="pandas")
+            .select_columns(["node", "out_deg", "neighbors"]))

@@ -104,13 +104,19 @@ def materialize_graph(canonical_ds, out_dir: str, n_buckets: int = 16):
 
     tri_dir = os.path.join(out_dir, "triples")
     node_dir = os.path.join(out_dir, "nodes")
-    for d in (tri_dir, node_dir):
+    adj_dir = os.path.join(out_dir, "adjacency")
+    for d in (tri_dir, node_dir, adj_dir):
         if os.path.isdir(d):
             shutil.rmtree(d)
     bucketed = canonical_ds.map_batches(lambda b: _bucket(b, n_buckets),
                                         batch_format="pyarrow")
     bucketed.write_parquet(tri_dir, partition_cols=["bucket"])
     node_degrees(canonical_ds).write_parquet(node_dir)
+    # adjacency table (north rule: "partitioned Parquet adjacency + triple
+    # tables"): subj -> sorted distinct object list, sharded by subj hash
+    from bionext_ray.ops.graph import adjacency_list
+    adjacency_list(canonical_ds, src="subj", dst="obj",
+                   shuffle_partitions=n_buckets).write_parquet(adj_dir)
 
     # lineage from the written files' parquet metadata (local footer reads,
     # no data scan)
@@ -123,9 +129,12 @@ def materialize_graph(canonical_ds, out_dir: str, n_buckets: int = 16):
             per_bucket[os.path.basename(root)] = n
     n_nodes = sum(pq.read_metadata(os.path.join(node_dir, f)).num_rows
                   for f in os.listdir(node_dir) if f.endswith(".parquet"))
+    n_adj = sum(pq.read_metadata(os.path.join(adj_dir, f)).num_rows
+                for f in os.listdir(adj_dir) if f.endswith(".parquet"))
     manifest = {"triples_per_bucket": dict(sorted(per_bucket.items())),
                 "triples_rows": sum(per_bucket.values()),
                 "nodes_rows": n_nodes,
+                "adjacency_rows": n_adj,
                 "n_buckets": n_buckets,
                 "written_at": time.time()}
     with open(os.path.join(out_dir, "_GRAPH_MANIFEST.json"), "w") as f:

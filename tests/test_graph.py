@@ -186,3 +186,34 @@ def test_bfs_hops_isolated_seed_and_empty_frontier(ray_session):
     s = _ds({"v": pa.array([1, 99], pa.int64())})
     got = bfs_hops(e, s, max_hops=5).to_pandas()
     assert dict(zip(got["node"], got["dist"])) == {1: 0, 99: 0, 2: 1}
+
+
+def test_adjacency_list_matches_pandas(ray_session):
+    from bionext_ray.ops.graph import adjacency_list
+    rng = np.random.default_rng(47)
+    src = rng.integers(0, 20, 300)
+    dst = rng.integers(0, 20, 300)
+    got = (adjacency_list(
+        _ds({"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}).repartition(5))
+        .to_pandas().sort_values("node").reset_index(drop=True))
+    df = (pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+          .sort_values(["src", "dst"]))
+    want = df.groupby("src")["dst"].agg(
+        out_deg="size", neighbors=lambda s: ",".join(map(str, s))
+    ).reset_index().rename(columns={"src": "node"})
+    pd.testing.assert_frame_equal(
+        got, want[["node", "out_deg", "neighbors"]],
+        check_dtype=False)
+
+
+def test_adjacency_list_string_nodes(ray_session):
+    """Canonical-triples shape: string entity ids."""
+    from bionext_ray.ops.graph import adjacency_list
+    e = _ds({"s": pa.array(["e1", "e1", "e2", "e1"]),
+             "o": pa.array(["b", "a", "c", "a"])})
+    got = (adjacency_list(e, src="s", dst="o")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got["node"].tolist() == ["e1", "e2"]
+    assert got["neighbors"].tolist() == ["a,b", "c"]
+    assert got["out_deg"].tolist() == [2, 1]
