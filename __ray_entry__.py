@@ -681,6 +681,17 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_term_cooccurrence(sf_dir: str):
+    """Co-occurrence edge table over the gazetteer terms: unordered term
+    pairs with the number of documents containing both (lowercased
+    whitespace-token matching, identical to term_counts). Per batch ONE
+    integer GEMM reduces all docs to a T x T partial; only nonzero
+    (ia, ib, n) ints cross the single bucketed sum."""
+    from bionext_ray.ops.textstats import term_cooccurrence
+    docs = _read(sf_dir, "documents", ["text"])
+    return term_cooccurrence(docs, _terms())
+
+
 def q_adjacency(sf_dir: str):
     """Adjacency-list materialization of the lineitem-derived graph:
     (node, out_deg, ascending comma-joined distinct neighbors) — the
@@ -1409,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_users": q_heavy_users,
         "events_window_frames": q_events_window_frames,
         "adjacency": q_adjacency,
+        "term_cooccurrence": q_term_cooccurrence,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1967,6 +1979,20 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "term_cooccurrence": f"""
+            WITH inc AS (
+                SELECT DISTINCT d.doc_id, t.term
+                FROM documents d, (VALUES {terms_values}) AS t(term)
+                WHERE list_contains(
+                    string_split(lower(COALESCE(d.text, '')), ' '),
+                    t.term)
+            )
+            SELECT a.term AS term_a, b.term AS term_b,
+                   COUNT(*) AS n_docs
+            FROM inc a JOIN inc b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY a.term, b.term
         """,
         "adjacency": """
             WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m

@@ -493,3 +493,64 @@ def inverted_index(documents_ds, shuffle_partitions: int | None = None):
             .groupby("__bucket")
             .map_groups(build_bucket, batch_format="pandas")
             .select_columns(["term", "df", "postings"]))
+
+
+def term_cooccurrence(documents_ds, terms: list[str],
+                      shuffle_partitions: int | None = None):
+    """Term co-occurrence graph construction: unordered pairs (a < b) of
+    gazetteer terms with the number of documents containing BOTH — the
+    entity-co-occurrence edge table a KG pipeline derives before relation
+    scoring (candidate pairs by co-mention). Matching follows
+    ``term_count_batch`` exactly: lowercased whitespace tokens.
+
+    Scale shape: per batch, one Arrow split builds the docs x T 0/1
+    membership matrix and ONE integer GEMM (m.T @ m) reduces the whole
+    batch to a T x T co-occurrence partial — pair generation never leaves
+    the task and costs no per-doc Python. Only nonzero upper-triangle
+    (ia, ib, n) rows (<= T(T-1)/2 ints per batch, T = gazetteer size)
+    cross a single bucketed sum; term strings are re-attached from the
+    tiny broadcast term list at the end. 100 TB of documents moves
+    kilobytes per batch through the exchange.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import bucketed_agg
+
+    terms = sorted(dict.fromkeys(terms))
+    tset = pa.array(terms, pa.string())
+    T = len(terms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch["text"], "")
+        words = pc.split_pattern(pc.utf8_lower(text), " ")
+        lengths = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words)
+        idx = pc.index_in(flat, value_set=tset).fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+        m = np.zeros((len(lengths), T), dtype=np.int64)
+        sel = idx >= 0
+        m[doc_idx[sel], idx[sel]] = 1
+        co = m.T @ m                               # T x T, one GEMM
+        iu, ju = np.triu_indices(T, k=1)
+        cnt = co[iu, ju]
+        nz = cnt > 0
+        return pa.table({"ia": pa.array(iu[nz], pa.int64()),
+                         "ib": pa.array(ju[nz], pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    agg = bucketed_agg(
+        documents_ds.map_batches(partial, batch_format="pyarrow"),
+        ["ia", "ib"], [("n", "sum", "n_docs")],
+        shuffle_partitions=shuffle_partitions)
+
+    def attach(b: pa.Table) -> pa.Table:
+        ia = b["ia"].to_numpy(zero_copy_only=False)
+        ib = b["ib"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term_a": pa.array([terms[i] for i in ia], pa.string()),
+            "term_b": pa.array([terms[j] for j in ib], pa.string()),
+            "n_docs": b["n_docs"]})
+
+    return agg.map_batches(attach, batch_format="pyarrow")

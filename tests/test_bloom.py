@@ -118,3 +118,25 @@ def test_heavy_hitters_rejects_unsound_capacity(ray_session):
         "k": pa.array(np.zeros(1000, np.int64), pa.int64())}))
     with _pytest.raises(ValueError):
         heavy_hitters(ds, "k", threshold=5, capacity=16)  # E ~ 59 > 5
+
+
+def test_term_cooccurrence_matches_bruteforce(ray_session):
+    """Batch-split invariance + correctness: pair counts must not depend
+    on how docs split across batches (the GEMM partial is per-batch)."""
+    from itertools import combinations
+
+    from bionext_ray.ops.textstats import term_cooccurrence
+    terms = ["alpha", "beta", "gamma", "delta"]
+    docs = ["alpha beta gamma", "beta alpha", "gamma delta beta",
+            "nothing here", "alpha alpha beta", ""] * 10
+    want = {}
+    for d in docs:
+        present = sorted({t for t in terms if t in d.split(" ")})
+        for a, b in combinations(present, 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(pa.table({
+            "text": pa.array(docs, pa.string())})).repartition(parts)
+        got = term_cooccurrence(ds, terms).to_pandas()
+        assert {(r.term_a, r.term_b): r.n_docs
+                for r in got.itertuples()} == want
