@@ -99,7 +99,7 @@ def bloom_semi_join(big_ds, right_ds, on, big_cols: list[str],
     exchange. ``on`` is a (big_key, right_key) pair or a shared name.
     Output columns: [big_key] + big_cols.
     """
-    from .relational import actor_pool_size, bucketed_agg, shuffle_join
+    from .relational import actor_pool_size
 
     bkey, rkey = on if isinstance(on, tuple) else (on, on)
     bloom = build_bloom(right_ds, rkey, m_bits=m_bits, n_hashes=n_hashes)
@@ -119,20 +119,54 @@ def bloom_semi_join(big_ds, right_ds, on, big_cols: list[str],
                  .map_batches(Prune, batch_format="pyarrow",
                               concurrency=actor_pool_size()))
 
-    # exact finish: distinct right keys (bucketed, never driver-resident)
-    # inner-joined onto the pruned survivors — false positives die here
-    def one(b: pa.Table) -> pa.Table:
-        return pa.table({
-            rkey: b[rkey],
-            "_c": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
-        })
+    # exact finish in ONE exchange: survivors (side 0, full rows) union
+    # per-block-distinct right keys (side 1, map-side dedup — no exchange
+    # of its own), co-located by key-hash bucket; per bucket a vectorized
+    # isin keeps the left rows whose key the right side actually has —
+    # false positives die here. (A bucketed right-distinct + inner join
+    # would be a second all-to-all; semi-join semantics only need the
+    # bucket-local key SET, so fold the dedup into the join bucket.)
+    from .relational import _key_buckets, coalesce_for_exchange
 
-    rdistinct = bucketed_agg(
-        right_ds.select_columns([rkey]).map_batches(
-            one, batch_format="pyarrow"),
-        [rkey], [("_c", "sum", "_c")],
-        shuffle_partitions=shuffle_partitions).select_columns([rkey])
+    P = max(16, shuffle_partitions or 0)
+    out_cols = [bkey] + [c for c in big_cols if c != bkey]
+    sch = big_ds.schema()
+    col_type = dict(zip(sch.names, sch.types))
 
-    return shuffle_join(survivors, rdistinct, (bkey, rkey),
-                        big_cols, [], how="inner",
-                        shuffle_partitions=shuffle_partitions)
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {"__k": b[bkey],
+                "__side": pa.array(np.zeros(b.num_rows, np.int8),
+                                   pa.int8())}
+        for c in out_cols[1:]:
+            cols[c] = b[c]
+        t = pa.table(cols)
+        karr = b[bkey].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array(_key_buckets(karr, P), pa.int64()))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        u = np.unique(b[rkey].to_numpy(zero_copy_only=False))
+        cols = {"__k": pa.array(u, b[rkey].type),
+                "__side": pa.array(np.ones(len(u), np.int8), pa.int8())}
+        for c in out_cols[1:]:
+            cols[c] = pa.nulls(len(u), col_type[c])
+        t = pa.table(cols)
+        return t.append_column(
+            "__bucket", pa.array(_key_buckets(u, P), pa.int64()))
+
+    def semi_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        keys = g["__k"].to_numpy(zero_copy_only=False)
+        right_keys = pd.unique(keys[side == 1])
+        keep = (side == 0) & pd.Series(keys).isin(right_keys).to_numpy()
+        out = g.filter(pa.array(keep))
+        return pa.table({bkey: out["__k"],
+                         **{c: out[c] for c in out_cols[1:]}})
+
+    tagged = (survivors.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.select_columns([rkey]).map_batches(
+                  tag_right, batch_format="pyarrow")))
+    return (coalesce_for_exchange(tagged, P)
+            .groupby("__bucket")
+            .map_groups(semi_bucket, batch_format="pyarrow"))
