@@ -681,6 +681,16 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_events_mode_type(sf_dir: str):
+    """Per-user modal event type (ties to the smallest value — the
+    deterministic ROW_NUMBER tiebreak). Pair partials per batch, one
+    key-bucketed exchange, C merge + first-per-key per bucket."""
+    from bionext_ray.ops.relational import grouped_mode
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type",
+                        alias="mode_type", count_alias="mode_n")
+
+
 def q_term_cooccurrence(sf_dir: str):
     """Co-occurrence edge table over the gazetteer terms: unordered term
     pairs with the number of documents containing both (lowercased
@@ -1421,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_frames": q_events_window_frames,
         "adjacency": q_adjacency,
         "term_cooccurrence": q_term_cooccurrence,
+        "events_mode_type": q_events_mode_type,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1979,6 +1990,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "events_mode_type": """
+            SELECT user_id, event_type AS mode_type, cnt AS mode_n
+            FROM (
+                SELECT user_id, event_type, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "term_cooccurrence": f"""
             WITH inc AS (

@@ -1114,3 +1114,43 @@ def set_op(left_ds, right_ds, cols: list[str], op: str,
         return b.filter(pa.array(keep)).select(cols)
 
     return counts.map_batches(pick, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_col: str, val_col: str, alias: str = "mode",
+                 count_alias: str = "mode_n",
+                 shuffle_partitions: int | None = None):
+    """Per-key mode: the most frequent value of ``val_col`` for each key,
+    ties broken to the SMALLEST value (deterministic at any parallelism —
+    the same rule as ``ROW_NUMBER() OVER (... ORDER BY COUNT(*) DESC,
+    v)``). Output: (key, alias, count_alias).
+
+    Shape: per batch an Arrow group_by reduces to (key, value, n) partials
+    — bounded by the batch's distinct pairs — then ONE key-bucketed
+    exchange and a C pandas merge + sort + first-per-key per bucket. The
+    exchange carries pair partials, never raw rows."""
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({key_col: b[key_col], val_col: b[val_col]}).group_by(
+            [key_col, val_col]).aggregate([([], "count_all")])
+        karr = g[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: g[key_col], val_col: g[val_col],
+            "__n": pa.compute.cast(g["count_all"], pa.int64()),
+            "__bucket": pa.array(_key_buckets(karr, P), pa.int64())})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby([key_col, val_col], sort=False)["__n"].sum()
+             .reset_index())
+        m = m.sort_values([key_col, "__n", val_col],
+                          ascending=[True, False, True], kind="mergesort")
+        m = m.drop_duplicates(key_col, keep="first")
+        return m.rename(columns={val_col: alias, "__n": count_alias})[
+            [key_col, alias, count_alias]]
+
+    return (coalesce_for_exchange(
+                ds.map_batches(partial, batch_format="pyarrow"), P)
+            .groupby("__bucket")
+            .map_groups(pick, batch_format="pandas"))

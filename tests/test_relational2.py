@@ -389,3 +389,17 @@ def test_window_funcs_ntile_more_tiles_than_rows(ray_session):
     got = (window_funcs(ds, "k", ["o"], [("ntile", None, 10, "t")])
            .to_pandas().sort_values("o"))
     assert got["t"].tolist() == [1, 2, 3]
+
+
+def test_grouped_mode_ties_and_split_invariance(ray_session):
+    """Tie -> smallest value; result must not depend on batch layout."""
+    from bionext_ray.ops.relational import grouped_mode
+    k = [1, 1, 1, 1, 2, 2, 2, 3]
+    v = ["b", "a", "a", "b", "z", "y", "z", "q"]  # key1 tie a/b -> a
+    for parts in (1, 4):
+        ds = _ds({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(v, pa.string())}).repartition(parts)
+        got = (grouped_mode(ds, "k", "v").to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        assert got["mode"].tolist() == ["a", "z", "q"]
+        assert got["mode_n"].tolist() == [2, 2, 1]
