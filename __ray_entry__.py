@@ -681,6 +681,27 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_events_quantiles_cont(sf_dir: str):
+    """percentile_cont with a bit-exact integer contract: per-user
+    interpolated p25/p50/p90 of floor(value*1000), emitted in micro-units
+    (q_micro = v[l]*1000 + (v[l+1]-v[l])*rem*10 — *1000/100 is *10, no
+    rounding anywhere, so the SQL mirror matches exactly)."""
+    from bionext_ray.ops.relational import (estimate_partitions,
+                                            grouped_quantiles_cont)
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "v_milli": pa.array(v.astype(np.int64), pa.int64())})
+
+    sp = estimate_partitions(f"{sf_dir}/events.parquet")
+    return grouped_quantiles_cont(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "v_milli", [25, 50, 90], shuffle_partitions=sp)
+
+
 def q_events_mode_type(sf_dir: str):
     """Per-user modal event type (ties to the smallest value — the
     deterministic ROW_NUMBER tiebreak). Pair partials per batch, one
@@ -1432,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacency": q_adjacency,
         "term_cooccurrence": q_term_cooccurrence,
         "events_mode_type": q_events_mode_type,
+        "events_quantiles_cont": q_events_quantiles_cont,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -1990,6 +2012,29 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "events_quantiles_cont": """
+            WITH e AS (SELECT user_id,
+                              CAST(floor(value * 1000) AS BIGINT) AS v
+                       FROM events),
+                 s AS (SELECT user_id, v,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY v) - 1 AS rn,
+                              COUNT(*) OVER (PARTITION BY user_id) AS n
+                       FROM e),
+                 j AS (SELECT s.*, pv.p
+                       FROM s, (VALUES (25), (50), (90)) AS pv(p)),
+                 a AS (SELECT user_id, p,
+                              MAX(CASE WHEN rn = (p * (n - 1)) // 100
+                                       THEN v END) AS lo,
+                              MAX(CASE WHEN rn = (p * (n - 1)) // 100 + 1
+                                       THEN v END) AS hi,
+                              (p * (MAX(n) - 1)) % 100 AS rem
+                       FROM j GROUP BY user_id, p)
+            SELECT user_id, CAST(p AS BIGINT) AS p,
+                   CAST(lo * 1000 + (COALESCE(hi, lo) - lo) * rem * 10
+                        AS BIGINT) AS q_micro
+            FROM a
         """,
         "events_mode_type": """
             SELECT user_id, event_type AS mode_type, cnt AS mode_n

@@ -1154,3 +1154,67 @@ def grouped_mode(ds, key_col: str, val_col: str, alias: str = "mode",
                 ds.map_batches(partial, batch_format="pyarrow"), P)
             .groupby("__bucket")
             .map_groups(pick, batch_format="pandas"))
+
+
+def grouped_quantiles_cont(ds, key_col: str, val_col: str,
+                           percents: list[int],
+                           alias: str = "q_micro",
+                           shuffle_partitions: int | None = None):
+    """Per-key CONTINUOUS (interpolated) percentiles — percentile_cont —
+    over an INTEGER value column, with a bit-exact integer contract so an
+    SQL oracle can mirror it at any scale: for percent p (0..100) over the
+    key's n ascending values v[0..n-1],
+
+        pos = p * (n - 1);  l = pos // 100;  rem = pos % 100
+        q_micro = v[l] * 1000 + (v[l+1] - v[l]) * rem * 10
+
+    (*1000/100 == *10 exactly — no rounding anywhere, so q_micro is the
+    true interpolated value in 1/1000ths of the input unit). Callers feed
+    milli-unit ints; output rows are (key, p, q_micro).
+
+    Same exchange contract as ``grouped_quantiles`` (exact order
+    statistics must co-locate each key's values — ONE key-bucketed
+    exchange); per bucket everything is C: one stable sort, grouped
+    cumcount/size, and two merges picking v[l] and v[l+1] for ALL
+    (key, p) pairs at once."""
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+    percents = sorted(dict.fromkeys(int(p) for p in percents))
+    if not all(0 <= p <= 100 for p in percents):
+        raise ValueError(f"percents must be in [0, 100]: {percents}")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        karr = b[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: b[key_col], val_col: b[val_col],
+            "__bucket": pa.array(_key_buckets(karr, P), pa.int64())})
+
+    pdf = pd.DataFrame({"p": pd.array(percents, dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket")
+             .sort_values([key_col, val_col], kind="mergesort")
+             .reset_index(drop=True))
+        gb = g.groupby(key_col, sort=False)
+        g["rn"] = gb.cumcount()
+        keys = gb.size().rename("n").reset_index()
+        kp = keys.merge(pdf, how="cross")
+        pos = kp["p"].to_numpy() * (kp["n"].to_numpy() - 1)
+        kp["l"] = pos // 100
+        kp["rem"] = pos % 100
+        lo = kp.merge(g.rename(columns={"rn": "l", val_col: "v_lo"}),
+                      on=[key_col, "l"], how="left")
+        hi_src = g.assign(l=g["rn"] - 1).rename(columns={val_col: "v_hi"})
+        lo = lo.merge(hi_src[[key_col, "l", "v_hi"]],
+                      on=[key_col, "l"], how="left")
+        v_lo = lo["v_lo"].to_numpy(dtype=np.int64)
+        v_hi = lo["v_hi"].fillna(lo["v_lo"]).to_numpy(dtype=np.int64)
+        rem = lo["rem"].to_numpy(dtype=np.int64)
+        lo[alias] = v_lo * 1000 + (v_hi - v_lo) * rem * 10
+        return lo[[key_col, "p", alias]]
+
+    return (coalesce_for_exchange(
+                ds.map_batches(add_bucket, batch_format="pyarrow"), P)
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

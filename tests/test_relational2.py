@@ -403,3 +403,33 @@ def test_grouped_mode_ties_and_split_invariance(ray_session):
                .sort_values("k").reset_index(drop=True))
         assert got["mode"].tolist() == ["a", "z", "q"]
         assert got["mode_n"].tolist() == [2, 2, 1]
+
+
+def test_grouped_quantiles_cont_matches_numpy(ray_session):
+    """q_micro must equal numpy's linear-interpolation percentile scaled
+    to micro-units (exact: both are v_l + frac*(v_hi-v_l) with frac a
+    multiple of 1/100)."""
+    from bionext_ray.ops.relational import grouped_quantiles_cont
+    rng = np.random.default_rng(53)
+    k = rng.integers(0, 9, 500)
+    v = rng.integers(-10_000, 10_000, 500)
+    ds = _ds({"k": pa.array(k, pa.int64()),
+              "v": pa.array(v, pa.int64())}).repartition(6)
+    got = grouped_quantiles_cont(ds, "k", "v", [0, 25, 50, 90, 100]
+                                 ).to_pandas()
+    df = pd.DataFrame({"k": k, "v": v})
+    for key, grp in df.groupby("k"):
+        for p in (0, 25, 50, 90, 100):
+            want = np.percentile(grp["v"].to_numpy(), p,
+                                 method="linear") * 1000
+            cell = got[(got["k"] == key) & (got["p"] == p)]["q_micro"]
+            assert len(cell) == 1
+            assert abs(cell.iloc[0] - want) < 1e-6, (key, p)
+
+
+def test_grouped_quantiles_cont_single_value_group(ray_session):
+    from bionext_ray.ops.relational import grouped_quantiles_cont
+    ds = _ds({"k": pa.array([7], pa.int64()),
+              "v": pa.array([42], pa.int64())})
+    got = grouped_quantiles_cont(ds, "k", "v", [50, 100]).to_pandas()
+    assert got["q_micro"].tolist() == [42_000, 42_000]
