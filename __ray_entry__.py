@@ -681,6 +681,18 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking: every doc pair within 2 positions of
+    each other in (md5(text), doc_id) order — the classic ER candidate
+    generator, as a distributed global ROWS-window self-join (range-
+    bucketed exchange + in-bucket windows + tiny boundary strips; exact
+    vs the ROW_NUMBER self-join oracle at any parallelism)."""
+    from bionext_ray.ops.dedup import _text_md5, sorted_neighborhood_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _text_md5, batch_format="pyarrow")
+    return sorted_neighborhood_pairs(docs, "text_hash", "doc_id", window=2)
+
+
 def q_events_quantiles_cont(sf_dir: str):
     """percentile_cont with a bit-exact integer contract: per-user
     interpolated p25/p50/p90 of floor(value*1000), emitted in micro-units
@@ -1454,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": q_term_cooccurrence,
         "events_mode_type": q_events_mode_type,
         "events_quantiles_cont": q_events_quantiles_cont,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2012,6 +2025,15 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "sorted_neighborhood": """
+            WITH r AS (SELECT doc_id, md5(COALESCE(text, '')) AS h
+                       FROM documents),
+                 s AS (SELECT doc_id,
+                              ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn
+                       FROM r)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + 2
         """,
         "events_quantiles_cont": """
             WITH e AS (SELECT user_id,

@@ -761,3 +761,158 @@ def train_example_dedup(samples_ds, gene_lookup: dict[str, str],
     agg = deduped.groupby(keys).aggregate(Count(alias_name="__n"))
     return agg.map_batches(lambda b: b.select(keys),
                            batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(ds, key_col: str, id_col: str, window: int,
+                              shuffle_partitions: int | None = None,
+                              sample_size: int = 4096):
+    """Sorted-neighborhood blocking (the classic entity-resolution
+    candidate generator): order all rows by (key, id) and emit every pair
+    within ``window`` POSITIONS of each other — the ROWS-window self-join
+
+        SELECT a.id, b.id FROM ranked a JOIN ranked b
+        ON b.rn > a.rn AND b.rn <= a.rn + window
+
+    Output: (id_a, id_b) with id_a the lower-RANK row. Complements the
+    LSH/simhash blockers: those bucket by content similarity, this one by
+    sort-key adjacency (typo-tolerant keys like phonetic codes or
+    truncated fingerprints put near-misses in adjacent ranks even when
+    they hash apart).
+
+    Scale shape — a global ROWS window over a total order, without a
+    global sort materialization: driver samples ≤``sample_size`` keys and
+    picks P-1 range cutpoints over the composite key (key + NUL + fixed-
+    width id — NUL-separated so composite order IS (key, id) order even
+    for prefix keys); rows range-bucket in one exchange; each bucket
+    sorts locally and emits (a) its in-bucket window pairs and (b) tiny
+    boundary STRIPS — its first/last ``window`` rows with local ranks and
+    the bucket size. Strips (≤ 2wP rows total) gather in one single-group
+    pass that reconstructs exact global ranks from the carried bucket
+    sizes (empty buckets contribute 0 by construction) and emits the
+    cross-bucket pairs — any pair within ``window`` ranks either shares a
+    bucket or has both ends within ``window`` of a crossed boundary, so
+    the union is exactly the SQL window. Deterministic at any parallelism;
+    skewed key runs longer than a bucket are still correct (the strip
+    pass sees both sides of every boundary).
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from .relational import _key_buckets, coalesce_for_exchange
+
+    P = max(16, shuffle_partitions or 0)
+    width = 20                                    # fixed id pad width
+
+    def _composite(keys, ids):
+        return np.array([f"{k}\x00{i:0{width}d}" for k, i in
+                         zip(keys, ids)], dtype=object)
+
+    # driver-side cutpoints from a bounded sample (the range-partitioner
+    # pattern; <= sample_size rows regardless of input size — a biased
+    # sample only unbalances buckets, never correctness)
+    head = (ds.select_columns([key_col, id_col])
+            .limit(sample_size).take_all())
+    if not head:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+    comp = np.sort(_composite([r[key_col] for r in head],
+                              [r[id_col] for r in head]))
+    cut_idx = (np.arange(1, P) * len(comp)) // P
+    cuts = np.unique(comp[cut_idx])
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        c = _composite(keys, ids)
+        bkt = np.searchsorted(cuts, c, side="right")
+        return pa.table({
+            "__key": b[key_col],            # original type; (key, id) sort
+            "__id": pa.array(ids.astype(np.int64), pa.int64()),
+            "__bucket": pa.array(bkt.astype(np.int64), pa.int64())})
+
+    def bucket_pass(g: pd.DataFrame) -> pa.Table:
+        bkt = int(g["__bucket"].iloc[0])
+        g = (g.sort_values(["__key", "__id"], kind="mergesort")
+             .reset_index(drop=True))
+        n = len(g)
+        ids = g["__id"].to_numpy()
+        # in-bucket pairs: rank diff 1..window
+        ia, ib = [], []
+        for d in range(1, window + 1):
+            if n > d:
+                ia.append(ids[:-d])
+                ib.append(ids[d:])
+        pa_ids = np.concatenate(ia) if ia else np.array([], np.int64)
+        pb_ids = np.concatenate(ib) if ib else np.array([], np.int64)
+        pairs = pa.table({
+            "__kind": pa.array(np.zeros(len(pa_ids), np.int8), pa.int8()),
+            "id_a": pa.array(pa_ids, pa.int64()),
+            "id_b": pa.array(pb_ids, pa.int64()),
+            "__bucket": pa.array(np.full(len(pa_ids), bkt, np.int64)),
+            "__rank": pa.nulls(len(pa_ids), pa.int64()),
+            "__size": pa.nulls(len(pa_ids), pa.int64())})
+        # boundary strips: first/last `window` rows with local rank + size
+        sel = np.zeros(n, bool)
+        sel[:window] = True
+        sel[max(0, n - window):] = True
+        idx = np.nonzero(sel)[0]
+        strips = pa.table({
+            "__kind": pa.array(np.ones(len(idx), np.int8), pa.int8()),
+            "id_a": pa.array(ids[idx], pa.int64()),
+            "id_b": pa.nulls(len(idx), pa.int64()),
+            "__bucket": pa.array(np.full(len(idx), bkt, np.int64)),
+            "__rank": pa.array(idx.astype(np.int64), pa.int64()),
+            "__size": pa.array(np.full(len(idx), n, np.int64))})
+        return pa.concat_tables([pairs, strips])
+
+    tagged = (coalesce_for_exchange(
+                  ds.map_batches(assign, batch_format="pyarrow"), P)
+              .groupby("__bucket")
+              .map_groups(bucket_pass, batch_format="pandas")
+              .materialize())
+
+    def only_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        k = b["__kind"].to_numpy(zero_copy_only=False)
+        out = b.filter(pa.array(k == 0))
+        return pa.table({"id_a": out["id_a"], "id_b": out["id_b"]})
+
+    in_bucket = tagged.map_batches(only_pairs, batch_format="pyarrow")
+
+    def strips_tbl(b: pa.Table) -> pa.Table:
+        k = b["__kind"].to_numpy(zero_copy_only=False)
+        out = b.filter(pa.array(k == 1))
+        return pa.table({
+            "__one": pa.array(np.zeros(out.num_rows, np.int64), pa.int64()),
+            "id": out["id_a"], "bucket": out["__bucket"],
+            "rank": out["__rank"], "size": out["__size"]})
+
+    def boundary_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = (g.drop_duplicates("bucket").set_index("bucket")["size"]
+                 .sort_index())
+        offset = sizes.cumsum().shift(fill_value=0)
+        grank = (offset.reindex(g["bucket"]).to_numpy()
+                 + g["rank"].to_numpy())
+        order = np.argsort(grank, kind="stable")
+        gr = grank[order]
+        ids = g["id"].to_numpy()[order]
+        bks = g["bucket"].to_numpy()[order]
+        ia, ib = [], []
+        m = len(gr)
+        for i in range(m):
+            j = i + 1
+            while j < m and gr[j] - gr[i] <= window:
+                if bks[j] != bks[i]:          # same-bucket pairs already out
+                    ia.append(ids[i])
+                    ib.append(ids[j])
+                j += 1
+        return pd.DataFrame({"id_a": np.array(ia, np.int64),
+                             "id_b": np.array(ib, np.int64)})
+
+    cross = (tagged.map_batches(strips_tbl, batch_format="pyarrow")
+             .groupby("__one")
+             .map_groups(boundary_pairs, batch_format="pandas"))
+
+    return in_bucket.union(cross)

@@ -398,3 +398,42 @@ def test_connected_components_long_chain_and_cap(ray_session):
     assert (out["cluster_id"] == 0).all() and len(out) == n + 1
     with pytest.raises(RuntimeError):
         connected_components(ray.data.from_arrow(pairs), max_iters=2)
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session):
+    """Exact ROWS-window pairs vs brute force, including duplicate keys
+    spanning range-bucket boundaries, at several parallelism levels."""
+    import ray.data
+
+    from bionext_ray.ops.dedup import sorted_neighborhood_pairs
+    rng = np.random.default_rng(59)
+    n = 400
+    keys = [f"k{rng.integers(0, 40):02d}" for _ in range(n)]  # heavy dups
+    ids = rng.permutation(n)
+    order = sorted(range(n), key=lambda i: (keys[i], ids[i]))
+    want = set()
+    for w in range(1, 4):
+        for i in range(n - w):
+            want.add((ids[order[i]], ids[order[i + w]]))
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(keys, pa.string()),
+            "i": pa.array(ids, pa.int64())})).repartition(parts)
+        got = sorted_neighborhood_pairs(ds, "k", "i", window=3).to_pandas()
+        assert set(zip(got["id_a"], got["id_b"])) == want
+        assert len(got) == len(want)            # no duplicate emissions
+
+
+def test_sorted_neighborhood_small_and_empty(ray_session):
+    import ray.data
+
+    from bionext_ray.ops.dedup import sorted_neighborhood_pairs
+    one = ray.data.from_arrow(pa.table({
+        "k": pa.array(["x"], pa.string()),
+        "i": pa.array([5], pa.int64())}))
+    assert sorted_neighborhood_pairs(one, "k", "i", 2).count() == 0
+    two = ray.data.from_arrow(pa.table({
+        "k": pa.array(["b", "a"], pa.string()),
+        "i": pa.array([1, 2], pa.int64())}))
+    got = sorted_neighborhood_pairs(two, "k", "i", 2).to_pandas()
+    assert list(zip(got["id_a"], got["id_b"])) == [(2, 1)]
