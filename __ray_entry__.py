@@ -681,6 +681,23 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+_TEST_GRAMS = ["table scan merge", "join order", "batch batch batch",
+               "sort merge", "group query row", "data line join",
+               "never gonna match"]
+
+
+def q_contamination(sf_dir: str):
+    """Train/eval decontamination: per doc, how many held-out test-set
+    word n-grams appear as exact token runs (space-padded containment);
+    flagged at >= 2 hits. One Arrow match_substring kernel per gram over
+    each batch — G kernels, no per-row Python."""
+    from bionext_ray.ops.textstats import contamination_batch
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: contamination_batch(b, _TEST_GRAMS, flag_min=2),
+        batch_format="pyarrow")
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking: every doc pair within 2 positions of
     each other in (md5(text), doc_id) order — the classic ER candidate
@@ -1467,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type": q_events_mode_type,
         "events_quantiles_cont": q_events_quantiles_cont,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "contamination": q_contamination,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2025,6 +2043,19 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "contamination": f"""
+            SELECT d.doc_id,
+                   CAST(SUM(CASE WHEN position(' ' || g.gram || ' ' IN
+                            ' ' || lower(COALESCE(d.text, '')) || ' ') > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                   SUM(CASE WHEN position(' ' || g.gram || ' ' IN
+                            ' ' || lower(COALESCE(d.text, '')) || ' ') > 0
+                            THEN 1 ELSE 0 END) >= 2 AS contaminated
+            FROM documents d,
+                 (VALUES {", ".join(f"('{g}')" for g in _TEST_GRAMS)})
+                 AS g(gram)
+            GROUP BY d.doc_id
         """,
         "sorted_neighborhood": """
             WITH r AS (SELECT doc_id, md5(COALESCE(text, '')) AS h

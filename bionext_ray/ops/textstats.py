@@ -554,3 +554,33 @@ def term_cooccurrence(documents_ds, terms: list[str],
             "n_docs": b["n_docs"]})
 
     return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def contamination_batch(batch: pa.Table, test_grams: list[str],
+                        flag_min: int = 2) -> pa.Table:
+    """Decontamination scoring: per document, how many of the test-set
+    word n-grams appear as whitespace-token runs in the text — the
+    train/eval overlap check every LLM data pipeline runs before
+    training. Output: (doc_id, n_hits, contaminated).
+
+    Matching is space-padded substring containment (' gram ' in
+    ' text '), i.e. exact token-sequence match on space-tokenized text —
+    the contract an SQL oracle mirrors with position(). Vectorized: one
+    Arrow ``match_substring`` per test gram over the whole batch (G small
+    — a held-out eval set's probe list — so G kernels, zero per-row
+    Python). Batch-local — composes with any downstream filter; a doc is
+    flagged when >= ``flag_min`` distinct test grams hit."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(batch["text"], "")
+    padded = pc.binary_join_element_wise(
+        pa.scalar(" "), pc.utf8_lower(text), pa.scalar(" "), "")
+    hits = np.zeros(batch.num_rows, np.int64)
+    for g in dict.fromkeys(test_grams):
+        m = pc.match_substring(padded, f" {g.lower()} ")
+        hits += m.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_hits": pa.array(hits, pa.int64()),
+        "contaminated": pa.array(hits >= flag_min, pa.bool_())})

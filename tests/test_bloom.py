@@ -140,3 +140,19 @@ def test_term_cooccurrence_matches_bruteforce(ray_session):
         got = term_cooccurrence(ds, terms).to_pandas()
         assert {(r.term_a, r.term_b): r.n_docs
                 for r in got.itertuples()} == want
+
+
+def test_contamination_batch_token_boundaries(ray_session):
+    """' gram ' containment must match token RUNS, not substrings:
+    'scan merge' must not hit 'scanner merged'."""
+    from bionext_ray.ops.textstats import contamination_batch
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the scan merge path", "scanner merged fast",
+                          None])})
+    out = contamination_batch(t, ["scan merge", "fast"], flag_min=2)
+    assert out["n_hits"].to_pylist() == [1, 1, 0]
+    assert out["contaminated"].to_pylist() == [False, False, False]
+    both = contamination_batch(t, ["scan merge", "the"], flag_min=2)
+    assert both["n_hits"].to_pylist()[0] == 2
+    assert both["contaminated"].to_pylist()[0] is True
