@@ -83,7 +83,7 @@ def q_kg_extract_text(sf_dir: str):
             "url": batch["url"],
             "doc_id": batch["doc_id"],
             "text_hash": pa.array(hs, pa.string()),
-            "title_len": pa.array(batch["title_len"].to_pylist(), pa.int64()),
+            "title_len": pa.compute.cast(batch["title_len"], pa.int64()),
         })
     return docs.map_batches(_hash, batch_format="pyarrow")
 
@@ -166,13 +166,13 @@ def q_domain_stats(sf_dir: str):
     pages = pages_from_documents(sf_dir)
 
     def prep(b: pa.Table) -> pa.Table:
-        urls = b["url"].to_pylist()
-        domains = [u.split("/", 3)[2] for u in urls]
-        has_html = [h is not None for h in b["html"].to_pylist()]
+        import pyarrow.compute as pc
+        domains = pc.split_pattern(b["url"], "/", max_splits=3)
+        has_html = pc.is_valid(b["html"])
         return pa.table({
-            "domain": pa.array(domains, pa.string()),
-            "one": pa.array([1] * len(urls), pa.int64()),
-            "n_html": pa.array([1 if h else 0 for h in has_html], pa.int64()),
+            "domain": pc.list_element(domains, 2),
+            "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            "n_html": pc.cast(has_html, pa.int64()),
         })
 
     return partial_final_agg(pages.map_batches(prep, batch_format="pyarrow"),
@@ -943,10 +943,15 @@ def q_pricing_summary(sf_dir: str):
             pc.less_equal(batch["l_shipdate"],
                           pa.scalar(np.datetime64("2000-12-01", "us"))))
         batch = _cents(batch, "l_extendedprice", "ep_cents")
-        disc = np.rint(np.asarray(batch["l_discount"].to_pylist()) * 100).astype(np.int64)
-        tax = np.rint(np.asarray(batch["l_tax"].to_pylist()) * 100).astype(np.int64)
-        ep = np.asarray(batch["ep_cents"].to_pylist())
-        qty = np.asarray(batch["l_quantity"].to_pylist()).astype(np.int64)
+        # zero-copy column -> numpy (VERDICT r2 item 7: no Python-object
+        # round-trips in the TPC-H preps)
+        disc = np.rint(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        tax = np.rint(batch["l_tax"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ep = batch["ep_cents"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
