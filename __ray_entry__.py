@@ -681,6 +681,16 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids in integer micro-units
+    (SUM(floor(v*1e6)) trunc-div COUNT — floats never cross the exchange,
+    bit-identical at any parallelism). One zero-copy matrix + grouped sum
+    per batch; (label x 64-dim) partials through partial_final_agg."""
+    from bionext_ray.ops.simsearch import grouped_centroids
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return grouped_centroids(emb, "label", "embedding")
+
+
 _TEST_GRAMS = ["table scan merge", "join order", "batch batch batch",
                "sort merge", "group query row", "data line join",
                "never gonna match"]
@@ -1490,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_cont": q_events_quantiles_cont,
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
+        "label_centroids": q_label_centroids,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2048,6 +2059,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "label_centroids": """
+            WITH u AS (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS val,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(floor(val * 1000000) AS BIGINT))
+                        // COUNT(*) AS BIGINT) AS centroid_micro
+            FROM u GROUP BY label, dim
         """,
         "contamination": f"""
             SELECT d.doc_id,

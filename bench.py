@@ -55,7 +55,9 @@ def _run_bench() -> dict:
         "distinct_users_kmv", "priority_revenue", "events_running_total",
         "pagerank", "pii_redact", "triangles", "orders_rollup",
         "top_tokens", "events_user_join", "training_mix",
-        "events_bloom_semi", "bfs_hops",
+        "events_bloom_semi", "bfs_hops", "heavy_users",
+        "events_window_frames", "adjacency", "term_cooccurrence",
+        "sorted_neighborhood", "contamination",
     ]
 
     per_query = {}

@@ -189,3 +189,62 @@ def ivf_topk(embeddings_ds, query: np.ndarray, k: int = 10,
         id_col: pa.array([r[0] for r in best]),
         "score": pa.array([r[1] for r in best], pa.float64()),
     })
+
+
+def grouped_centroids(embeddings_ds, key_col: str, vec_col: str,
+                      shuffle_partitions: int | None = 16):
+    """Per-group centroid of an embedding column — the class-prototype /
+    cluster-center computation an embedding pipeline runs constantly
+    (label prototypes, per-language mean vectors, IVF retrain) — with an
+    integer contract the SQL oracle mirrors exactly:
+
+        centroid_micro(key, d) = SUM(floor(v_d * 1e6)) // COUNT(*)
+
+    with // the SQL integer division (TRUNCATES toward zero — numpy's
+    floor-div differs on negative sums, so the kernel mirrors SQL, not
+    numpy).
+
+    Output rows: (key, dim, centroid_micro), one per key x dimension.
+
+    Scale shape: per batch, ONE zero-copy matrix extraction + a pandas
+    grouped sum over all dims at once reduces the batch to (keys x dim)
+    partial rows; partials flow through the low-cardinality
+    ``partial_final_agg`` (keys ~ label count, never ~ rows). The floor-
+    then-sum integer order is load-bearing: floats never cross the
+    exchange, so the result is bit-identical at any parallelism."""
+    import pandas as pd
+
+    from bionext_ray.ops.relational import partial_final_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _batch_matrix(batch, vec_col)
+        micro = np.floor(M * 1_000_000).astype(np.int64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(micro)
+        df["__k"] = keys
+        g = df.groupby("__k", sort=False)
+        sums = g.sum()
+        ns = g.size()
+        dim = micro.shape[1] if micro.size else 0
+        k_rep = np.repeat(sums.index.to_numpy(), dim)
+        return pa.table({
+            key_col: pa.array(k_rep.astype(np.int64), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(sums)), pa.int64()),
+            "s": pa.array(sums.to_numpy().reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(ns.to_numpy(), dim), pa.int64())})
+
+    agg = partial_final_agg(
+        embeddings_ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col, "dim"], [("s", "sum", "s"), ("n", "sum", "n")],
+        shuffle_partitions=shuffle_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        q = (np.abs(s) // n) * np.sign(s)      # SQL trunc-toward-zero //
+        return pa.table({
+            key_col: b[key_col], "dim": b["dim"],
+            "centroid_micro": pa.array(q, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

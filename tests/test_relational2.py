@@ -433,3 +433,29 @@ def test_grouped_quantiles_cont_single_value_group(ray_session):
               "v": pa.array([42], pa.int64())})
     got = grouped_quantiles_cont(ds, "k", "v", [50, 100]).to_pandas()
     assert got["q_micro"].tolist() == [42_000, 42_000]
+
+
+def test_grouped_centroids_split_invariance_and_negatives(ray_session):
+    """Integer centroid contract: bit-identical across batch layouts,
+    SQL trunc-division semantics on negative sums."""
+    from bionext_ray.ops.simsearch import grouped_centroids
+    rng = np.random.default_rng(61)
+    vecs = rng.normal(0, 1, (90, 4)).astype(np.float32)
+    labels = rng.integers(0, 3, 90)
+    t = pa.table({"label": pa.array(labels, pa.int64()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs])})
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = (grouped_centroids(ds, "label", "embedding").to_pandas()
+               .sort_values(["label", "dim"]).reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    micro = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    for lab in range(3):
+        m = micro[labels == lab]
+        s, n = m.sum(axis=0), (labels == lab).sum()
+        want = (np.abs(s) // n) * np.sign(s)
+        got = outs[0][outs[0]["label"] == lab]["centroid_micro"].to_numpy()
+        assert (got == want).all()
