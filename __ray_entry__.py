@@ -681,6 +681,16 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_typo_pairs(sf_dir: str):
+    """String-similarity self-join: all unordered customer-name pairs
+    within Levenshtein distance 1 (SymSpell deletion-neighborhood
+    blocking: variants vectorized per deletion POSITION, one variant-
+    bucketed exchange, exact verify on candidates, bucketed distinct)."""
+    from bionext_ray.ops.dedup import edit_distance_pairs
+    cust = _read(sf_dir, "customer", ["c_name"])
+    return edit_distance_pairs(cust, "c_name")
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids in integer micro-units
     (SUM(floor(v*1e6)) trunc-div COUNT — floats never cross the exchange,
@@ -1501,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
         "label_centroids": q_label_centroids,
+        "typo_pairs": q_typo_pairs,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2059,6 +2070,12 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "typo_pairs": """
+            WITH w AS (SELECT DISTINCT c_name AS word FROM customer)
+            SELECT a.word AS word_a, b.word AS word_b
+            FROM w a JOIN w b
+              ON a.word < b.word AND levenshtein(a.word, b.word) <= 1
         """,
         "label_centroids": """
             WITH u AS (

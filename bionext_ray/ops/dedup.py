@@ -916,3 +916,103 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str, window: int,
              .map_groups(boundary_pairs, batch_format="pandas"))
 
     return in_bucket.union(cross)
+
+
+def edit_distance_pairs(ds, col: str, shuffle_partitions: int | None = None):
+    """Similarity self-join on strings: all UNORDERED pairs of distinct
+    values of ``col`` within Levenshtein distance 1 (typo pairs across a
+    corpus vocabulary — spell-correction candidates, fuzzy entity-surface
+    matching). Output: (word_a, word_b), word_a < word_b.
+
+    Symmetric-deletion blocking (the SymSpell idea): two strings are
+    within distance 1 IFF they share a variant in {self} ∪ {one-char
+    deletions} — substitution deletes the differing position from both,
+    insertion/deletion makes the shorter string itself a variant of the
+    longer. So: per block, per distinct value, emit its variants
+    (vectorized: for each deletion position p one pandas str.slice +
+    concat over ALL values at once — a loop over max word LENGTH, never
+    over words); ONE variant-hash-bucketed exchange; per bucket,
+    candidate pairs = values sharing a variant (C merge), then an exact
+    distance-≤1 verify on the candidates only (cheap char comparison —
+    candidates are near-always true pairs). Distance-2 collisions the
+    blocking admits die in the verify; cross-bucket duplicates are
+    impossible (a shared variant lands both sides in ITS bucket, and the
+    final distinct covers a pair sharing several variants).
+    """
+    import pandas as pd
+
+    from .relational import _key_buckets, coalesce_for_exchange
+
+    P = max(16, shuffle_partitions or 0)
+
+    def variants(b: pa.Table) -> pa.Table:
+        w = pd.Series(pd.unique(pd.Series(
+            b[col].to_numpy(zero_copy_only=False)).dropna()))
+        w = w[w != ""].astype(str)
+        if not len(w):
+            return pa.table({"__v": pa.array([], pa.string()),
+                             "__w": pa.array([], pa.string()),
+                             "__bucket": pa.array([], pa.int64())})
+        frames = [pd.DataFrame({"__v": w, "__w": w})]
+        maxlen = int(w.str.len().max())
+        for p in range(maxlen):
+            m = w[w.str.len() > p]
+            if not len(m):
+                break
+            frames.append(pd.DataFrame({
+                "__v": m.str.slice(0, p) + m.str.slice(p + 1),
+                "__w": m}))
+        d = pd.concat(frames, ignore_index=True).drop_duplicates()
+        bkt = _key_buckets(d["__v"].to_numpy(), P)
+        return pa.table({"__v": pa.array(d["__v"], pa.string()),
+                         "__w": pa.array(d["__w"], pa.string()),
+                         "__bucket": pa.array(bkt, pa.int64())})
+
+    def _dist_le1(a: str, b: str) -> bool:
+        if a == b:
+            return False                       # distinct pair contract
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        s, l = (a, b) if la < lb else (b, a)   # insertion/deletion
+        i = 0
+        while i < len(s) and s[i] == l[i]:
+            i += 1
+        return s[i:] == l[i + 1:]
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["__v", "__w"])
+        m = g.merge(g, on="__v")
+        m = m[m["__w_x"] < m["__w_y"]].drop_duplicates(
+            ["__w_x", "__w_y"])
+        keep = [
+            _dist_le1(x, y)
+            for x, y in zip(m["__w_x"], m["__w_y"])]
+        m = m[np.array(keep, bool)] if len(m) else m
+        return pd.DataFrame({"word_a": m["__w_x"].to_numpy(),
+                             "word_b": m["__w_y"].to_numpy()})
+
+    pairs = (coalesce_for_exchange(
+                 ds.map_batches(variants, batch_format="pyarrow"), P)
+             .groupby("__bucket")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+
+    # a pair sharing several variants (e.g. substitution + both orders)
+    # appears once per SHARED variant bucket — final distinct
+    def tag(b: pa.Table) -> pa.Table:
+        ka = b["word_a"].to_numpy(zero_copy_only=False)
+        kb = b["word_b"].to_numpy(zero_copy_only=False)
+        bkt = (_key_buckets(ka, P) * 31 + _key_buckets(kb, P)) % P
+        return b.append_column("__bucket",
+                               pa.array(bkt.astype(np.int64), pa.int64()))
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["word_a", "word_b"])[
+            ["word_a", "word_b"]]
+
+    return (coalesce_for_exchange(
+                pairs.map_batches(tag, batch_format="pyarrow"), P)
+            .groupby("__bucket")
+            .map_groups(bucket_distinct, batch_format="pandas"))

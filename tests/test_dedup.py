@@ -437,3 +437,36 @@ def test_sorted_neighborhood_small_and_empty(ray_session):
         "i": pa.array([1, 2], pa.int64())}))
     got = sorted_neighborhood_pairs(two, "k", "i", 2).to_pandas()
     assert list(zip(got["id_a"], got["id_b"])) == [(2, 1)]
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    """All Levenshtein-1 pair classes: substitution, insertion/deletion
+    (incl. at word ends), plus distance-2 decoys the blocking admits but
+    the verify must kill; split-invariant."""
+    import ray.data
+
+    from bionext_ray.ops.dedup import edit_distance_pairs
+    words = ["cat", "cut", "cart", "at", "dog", "dig", "dogs", "kart",
+             "ca", "cats", "xyz", "cat"]
+
+    def dist(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(words))
+    want = {(a, b) for i, a in enumerate(uniq) for b in uniq[i + 1:]
+            if dist(a, b) <= 1}
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(pa.table({
+            "w": pa.array(words, pa.string())})).repartition(parts)
+        got = edit_distance_pairs(ds, "w").to_pandas()
+        assert set(zip(got["word_a"], got["word_b"])) == want
+        assert len(got) == len(want)
