@@ -681,6 +681,17 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_events_funnel(sf_dir: str):
+    """signup → view → click → purchase funnel (earliest-first greedy:
+    each step's time is the min ts strictly after the previous step's).
+    One user-bucketed exchange; each step one C merge+groupby pass over
+    all of a bucket's users; only per-step int counts leave the bucket."""
+    from bionext_ray.ops.relational import funnel_counts
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ev, "user_id", "ts", "event_type",
+                         ["signup", "view", "click", "purchase"])
+
+
 def q_typo_pairs(sf_dir: str):
     """String-similarity self-join: all unordered customer-name pairs
     within Levenshtein distance 1 (SymSpell deletion-neighborhood
@@ -1512,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "label_centroids": q_label_centroids,
         "typo_pairs": q_typo_pairs,
+        "events_funnel": q_events_funnel,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2070,6 +2082,24 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                        JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                        WHERE e.event_type = 'view' GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                        JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                        WHERE e.event_type = 'click' GROUP BY e.user_id),
+                 s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                        JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+                        WHERE e.event_type = 'purchase'
+                        GROUP BY e.user_id)
+            SELECT 1 AS step, COUNT(*) AS n_keys FROM s1
+            UNION ALL SELECT 2, COUNT(*) FROM s2
+            UNION ALL SELECT 3, COUNT(*) FROM s3
+            UNION ALL SELECT 4, COUNT(*) FROM s4
         """,
         "typo_pairs": """
             WITH w AS (SELECT DISTINCT c_name AS word FROM customer)

@@ -1218,3 +1218,59 @@ def grouped_quantiles_cont(ds, key_col: str, val_col: str,
                 ds.map_batches(add_bucket, batch_format="pyarrow"), P)
             .groupby("__bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def funnel_counts(events_ds, key_col: str, ts_col: str, type_col: str,
+                  steps: list[str], shuffle_partitions: int | None = None):
+    """Funnel analysis: how many keys (users) completed each PREFIX of the
+    ordered step sequence — earliest-first greedy semantics (the standard
+    product-analytics funnel): t_1 = min ts of step 1; t_i = min ts of a
+    step-i event STRICTLY after t_{i-1}. Output: (step 1-based,
+    n_keys), one row per step.
+
+    ONE key-bucketed exchange co-locates each key's events; per bucket
+    every step is a C pass over ALL the bucket's keys at once (filter by
+    type, anti-ts merge against the previous step's per-key time, grouped
+    min) — no per-key Python. Per-bucket per-step key counts (ints) are
+    the only thing the final tiny step-keyed sum sees."""
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.is_in(b[type_col],
+                              value_set=pa.array(steps)))
+        karr = b[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: b[key_col], ts_col: b[ts_col], type_col: b[type_col],
+            "__bucket": pa.array(_key_buckets(karr, P), pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None                       # DataFrame[key, __t]
+        out_steps, out_counts = [], []
+        for i, st in enumerate(steps):
+            ev = g[g[type_col] == st][[key_col, ts_col]]
+            if prev is not None:
+                ev = ev.merge(prev, on=key_col)
+                ev = ev[ev[ts_col] > ev["__t"]][[key_col, ts_col]]
+            cur = (ev.groupby(key_col, sort=False)[ts_col].min()
+                   .rename("__t").reset_index())
+            out_steps.append(i + 1)
+            out_counts.append(len(cur))
+            prev = cur
+            if not len(cur):
+                # later steps are all zero for this bucket
+                for j in range(i + 1, len(steps)):
+                    out_steps.append(j + 1)
+                    out_counts.append(0)
+                break
+        return pd.DataFrame({"step": np.array(out_steps, np.int64),
+                             "n_keys": np.array(out_counts, np.int64)})
+
+    per = (coalesce_for_exchange(
+               events_ds.map_batches(add_bucket, batch_format="pyarrow"),
+               P)
+           .groupby("__bucket")
+           .map_groups(per_bucket, batch_format="pandas"))
+    return partial_final_agg(per, ["step"], [("n_keys", "sum", "n_keys")])

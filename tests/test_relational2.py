@@ -459,3 +459,22 @@ def test_grouped_centroids_split_invariance_and_negatives(ray_session):
         want = (np.abs(s) // n) * np.sign(s)
         got = outs[0][outs[0]["label"] == lab]["centroid_micro"].to_numpy()
         assert (got == want).all()
+
+
+def test_funnel_counts_greedy_semantics(ray_session):
+    """Earliest-first greedy: a later A must NOT re-anchor the funnel
+    (u2: B before the first A -> step2 not reached even though a later
+    A..B' would... no second B exists); ties (ts equal) are NOT after."""
+    from bionext_ray.ops.relational import funnel_counts
+    rows = [
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),     # completes
+        (2, 15, "B"), (2, 20, "A"),                   # B before A: stop@A
+        (3, 10, "A"), (3, 10, "B"),                   # tie: B not after A
+        (4, 10, "A"), (4, 11, "B"),                   # A,B only
+    ]
+    ds = _ds({"u": pa.array([r[0] for r in rows], pa.int64()),
+              "ts": pa.array([r[1] for r in rows], pa.int64()),
+              "t": pa.array([r[2] for r in rows], pa.string())})
+    got = (funnel_counts(ds, "u", "ts", "t", ["A", "B", "C"])
+           .to_pandas().sort_values("step"))
+    assert got["n_keys"].tolist() == [4, 2, 1]
