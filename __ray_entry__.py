@@ -684,12 +684,15 @@ def q_bfs_hops(sf_dir: str):
 def q_events_funnel(sf_dir: str):
     """signup → view → click → purchase funnel (earliest-first greedy:
     each step's time is the min ts strictly after the previous step's).
-    One user-bucketed exchange; each step one C merge+groupby pass over
-    all of a bucket's users; only per-step int counts leave the bucket."""
+    Each follow-up step must land within 20,000 s of the previous step
+    (conversion window). One user-bucketed exchange; each step one C
+    merge+groupby pass over all of a bucket's users; only per-step int
+    counts leave the bucket."""
     from bionext_ray.ops.relational import funnel_counts
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     return funnel_counts(ev, "user_id", "ts", "event_type",
-                         ["signup", "view", "click", "purchase"])
+                         ["signup", "view", "click", "purchase"],
+                         within_s=20_000)
 
 
 def q_typo_pairs(sf_dir: str):
@@ -2088,12 +2091,15 @@ def oracle_sql() -> dict[str, str]:
                         WHERE event_type = 'signup' GROUP BY user_id),
                  s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
                         JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                         AND e.ts <= s1.t + INTERVAL 20000 SECOND
                         WHERE e.event_type = 'view' GROUP BY e.user_id),
                  s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
                         JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                         AND e.ts <= s2.t + INTERVAL 20000 SECOND
                         WHERE e.event_type = 'click' GROUP BY e.user_id),
                  s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
                         JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+                         AND e.ts <= s3.t + INTERVAL 20000 SECOND
                         WHERE e.event_type = 'purchase'
                         GROUP BY e.user_id)
             SELECT 1 AS step, COUNT(*) AS n_keys FROM s1

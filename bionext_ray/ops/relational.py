@@ -1221,12 +1221,14 @@ def grouped_quantiles_cont(ds, key_col: str, val_col: str,
 
 
 def funnel_counts(events_ds, key_col: str, ts_col: str, type_col: str,
-                  steps: list[str], shuffle_partitions: int | None = None):
+                  steps: list[str], within_s: int | None = None,
+                  shuffle_partitions: int | None = None):
     """Funnel analysis: how many keys (users) completed each PREFIX of the
     ordered step sequence — earliest-first greedy semantics (the standard
     product-analytics funnel): t_1 = min ts of step 1; t_i = min ts of a
-    step-i event STRICTLY after t_{i-1}. Output: (step 1-based,
-    n_keys), one row per step.
+    step-i event STRICTLY after t_{i-1} (and, when ``within_s`` is set,
+    at most ``within_s`` seconds after it — the conversion-window form).
+    Output: (step 1-based, n_keys), one row per step.
 
     ONE key-bucketed exchange co-locates each key's events; per bucket
     every step is a C pass over ALL the bucket's keys at once (filter by
@@ -1253,7 +1255,11 @@ def funnel_counts(events_ds, key_col: str, ts_col: str, type_col: str,
             ev = g[g[type_col] == st][[key_col, ts_col]]
             if prev is not None:
                 ev = ev.merge(prev, on=key_col)
-                ev = ev[ev[ts_col] > ev["__t"]][[key_col, ts_col]]
+                keep = ev[ts_col] > ev["__t"]
+                if within_s is not None:
+                    keep &= (ev[ts_col]
+                             <= ev["__t"] + pd.Timedelta(seconds=within_s))
+                ev = ev[keep][[key_col, ts_col]]
             cur = (ev.groupby(key_col, sort=False)[ts_col].min()
                    .rename("__t").reset_index())
             out_steps.append(i + 1)
