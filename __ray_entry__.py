@@ -681,6 +681,25 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_events_pivot(sf_dir: str):
+    """Pivot report: per user one row, one column per event type with the
+    milli-value total of that slice (conditional aggregation; zero extra
+    exchanges over a plain grouped agg)."""
+    from bionext_ray.ops.relational import pivot_agg
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 1000)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "v_milli": pa.array(v.astype(np.int64), pa.int64())})
+
+    return pivot_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                     "user_id", "event_type", "v_milli",
+                     ["click", "view", "purchase", "signup", "error"])
+
+
 def q_events_funnel(sf_dir: str):
     """signup → view → click → purchase funnel (earliest-first greedy:
     each step's time is the min ts strictly after the previous step's).
@@ -1527,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "typo_pairs": q_typo_pairs,
         "events_funnel": q_events_funnel,
+        "events_pivot": q_events_pivot,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2085,6 +2105,25 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(floor(value * 1000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(floor(value * 1000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 1000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup'
+                        THEN CAST(floor(value * 1000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                        THEN CAST(floor(value * 1000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS error
+            FROM events GROUP BY user_id
         """,
         "events_funnel": """
             WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events

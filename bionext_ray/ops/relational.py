@@ -1280,3 +1280,37 @@ def funnel_counts(events_ds, key_col: str, ts_col: str, type_col: str,
            .groupby("__bucket")
            .map_groups(per_bucket, batch_format="pandas"))
     return partial_final_agg(per, ["step"], [("n_keys", "sum", "n_keys")])
+
+
+def pivot_agg(ds, key_col: str, pivot_col: str, val_col: str,
+              categories: list[str], fun: str = "sum",
+              shuffle_partitions: int | None = 16):
+    """Pivot: one output row per key, one column per category holding
+    ``fun`` of ``val_col`` over that (key, category) slice — the
+    wide-format report shape (SQL: conditional aggregation). Missing
+    slices are 0 for sum/count, NULL-free by contract. Unlisted
+    categories are ignored (the caller names the report's columns —
+    unbounded pivots belong in long format).
+
+    Per batch the categories become masked integer columns (one Arrow
+    filter + group_by per batch, NOT per category-row pair) and the rest
+    is the ordinary low-cardinality ``partial_final_agg`` — pivoting adds
+    ZERO exchanges over a plain grouped aggregate."""
+    assert fun in ("sum", "count")
+
+    def widen(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {key_col: b[key_col]}
+        piv = b[pivot_col]
+        v = (b[val_col].to_numpy(zero_copy_only=False)
+             if fun == "sum" else np.ones(b.num_rows, np.int64))
+        for c in categories:
+            mask = pc.equal(piv, c).to_numpy(zero_copy_only=False)
+            cols[f"{c}"] = pa.array(
+                np.where(mask, v, 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return partial_final_agg(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        [key_col], [(c, "sum", c) for c in categories],
+        shuffle_partitions=shuffle_partitions)

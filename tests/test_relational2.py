@@ -478,3 +478,25 @@ def test_funnel_counts_greedy_semantics(ray_session):
     got = (funnel_counts(ds, "u", "ts", "t", ["A", "B", "C"])
            .to_pandas().sort_values("step"))
     assert got["n_keys"].tolist() == [4, 2, 1]
+
+
+def test_pivot_agg_matches_pandas(ray_session):
+    from bionext_ray.ops.relational import pivot_agg
+    rng = np.random.default_rng(67)
+    k = rng.integers(0, 8, 200)
+    c = rng.choice(list("xyz"), 200)
+    v = rng.integers(-9, 9, 200)
+    ds = _ds({"k": pa.array(k, pa.int64()), "c": pa.array(c, pa.string()),
+              "v": pa.array(v, pa.int64())}).repartition(4)
+    got = (pivot_agg(ds, "k", "c", "v", ["x", "y", "w"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    df = pd.DataFrame({"k": k, "c": c, "v": v})
+    pv = df.pivot_table(index="k", columns="c", values="v",
+                        aggfunc="sum", fill_value=0)
+    for col in ("x", "y"):
+        assert got[col].tolist() == pv[col].tolist()
+    assert (got["w"] == 0).all()          # unseen category: all-zero col
+    cnt = (pivot_agg(ds, "k", "c", "v", ["x"], fun="count")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert cnt["x"].tolist() == df[df["c"] == "x"].groupby(
+        "k").size().reindex(sorted(set(k)), fill_value=0).tolist()
