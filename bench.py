@@ -57,7 +57,9 @@ def _run_bench() -> dict:
         "top_tokens", "events_user_join", "training_mix",
         "events_bloom_semi", "bfs_hops", "heavy_users",
         "events_window_frames", "adjacency", "term_cooccurrence",
-        "sorted_neighborhood", "contamination",
+        "sorted_neighborhood", "contamination", "events_mode_type",
+        "events_quantiles_cont", "label_centroids", "typo_pairs",
+        "events_funnel", "events_pivot",
     ]
 
     per_query = {}

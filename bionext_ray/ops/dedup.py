@@ -793,7 +793,9 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str, window: int,
     bucket or has both ends within ``window`` of a crossed boundary, so
     the union is exactly the SQL window. Deterministic at any parallelism;
     skewed key runs longer than a bucket are still correct (the strip
-    pass sees both sides of every boundary).
+    pass sees both sides of every boundary). Ids must be NON-NEGATIVE
+    ints (the fixed-width pad in the composite assumes it — a '-' sign
+    would break lexicographic == numeric order).
     """
     import pandas as pd
     import ray
