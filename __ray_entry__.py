@@ -681,6 +681,16 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix: users bucketed by first-event week,
+    counted per (cohort week, week offset ≤ 8) of later activity. One
+    user-bucketed exchange, all-C bucket kernels, tiny final sum."""
+    from bionext_ray.ops.relational import cohort_retention
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts",
+                            period_s=7 * 86400, max_periods=8)
+
+
 def q_events_pivot(sf_dir: str):
     """Pivot report: per user one row, one column per event type with the
     milli-value total of that slice (conditional aggregation; zero extra
@@ -1547,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": q_typo_pairs,
         "events_funnel": q_events_funnel,
         "events_pivot": q_events_pivot,
+        "cohort_retention": q_cohort_retention,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2105,6 +2116,20 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "cohort_retention": """
+            WITH a AS (SELECT user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT)
+                              // (7 * 86400) AS p
+                       FROM events),
+                 d AS (SELECT DISTINCT user_id, p FROM a),
+                 f AS (SELECT user_id, MIN(p) AS c FROM d
+                       GROUP BY user_id)
+            SELECT f.c AS cohort_period, d.p - f.c AS period_offset,
+                   COUNT(*) AS n_keys
+            FROM d JOIN f ON d.user_id = f.user_id
+            WHERE d.p - f.c <= 8
+            GROUP BY f.c, d.p - f.c
         """,
         "events_pivot": """
             SELECT user_id,

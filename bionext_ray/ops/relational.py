@@ -1314,3 +1314,52 @@ def pivot_agg(ds, key_col: str, pivot_col: str, val_col: str,
         ds.map_batches(widen, batch_format="pyarrow"),
         [key_col], [(c, "sum", c) for c in categories],
         shuffle_partitions=shuffle_partitions)
+
+
+def cohort_retention(events_ds, key_col: str, ts_col: str,
+                     period_s: int, max_periods: int,
+                     shuffle_partitions: int | None = None):
+    """Cohort retention: bucket every key (user) into the cohort of its
+    FIRST event's period (epoch // period_s), then count, per (cohort,
+    period_offset), the keys active in that later period — the activation
+    /retention matrix. Output: (cohort_period, period_offset, n_keys),
+    offsets 0..max_periods.
+
+    ONE key-bucketed exchange (first-event assignment needs each key's
+    min ts with its activity set); per bucket everything is C: grouped
+    min for the cohort, one merge, a drop_duplicates on (key, period),
+    offset arithmetic, and a (cohort, offset) groupby count; the final
+    tiny sum merges bucket partials."""
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].to_numpy(zero_copy_only=False)
+        period = (ts.astype("datetime64[s]").astype(np.int64)
+                  // period_s).astype(np.int64)
+        karr = b[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: b[key_col],
+            "__p": pa.array(period, pa.int64()),
+            "__bucket": pa.array(_key_buckets(karr, P), pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").drop_duplicates([key_col, "__p"])
+        first = (g.groupby(key_col, sort=False)["__p"].min()
+                 .rename("__c").reset_index())
+        m = g.merge(first, on=key_col)
+        m["__off"] = m["__p"] - m["__c"]
+        m = m[m["__off"] <= max_periods]
+        out = (m.groupby(["__c", "__off"], sort=False)
+               .size().rename("n_keys").reset_index())
+        return out.rename(columns={"__c": "cohort_period",
+                                   "__off": "period_offset"})
+
+    per = (coalesce_for_exchange(
+               events_ds.map_batches(add_bucket, batch_format="pyarrow"),
+               P)
+           .groupby("__bucket")
+           .map_groups(per_bucket, batch_format="pandas"))
+    return partial_final_agg(per, ["cohort_period", "period_offset"],
+                             [("n_keys", "sum", "n_keys")])

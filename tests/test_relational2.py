@@ -500,3 +500,32 @@ def test_pivot_agg_matches_pandas(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert cnt["x"].tolist() == df[df["c"] == "x"].groupby(
         "k").size().reindex(sorted(set(k)), fill_value=0).tolist()
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    from bionext_ray.ops.relational import cohort_retention
+    rng = np.random.default_rng(71)
+    n = 400
+    users = rng.integers(0, 25, n)
+    ts = np.datetime64("2001-01-01", "us") + rng.integers(
+        0, 40 * 86400, n).astype("timedelta64[s]").astype("timedelta64[us]")
+    ds = _ds({"u": pa.array(users, pa.int64()),
+              "ts": pa.array(ts)}).repartition(4)
+    got = (cohort_retention(ds, "u", "ts", period_s=7 * 86400,
+                            max_periods=3)
+           .to_pandas().sort_values(["cohort_period", "period_offset"])
+           .reset_index(drop=True))
+    df = pd.DataFrame({
+        "u": users,
+        "p": ts.astype("datetime64[s]").astype(np.int64) // (7 * 86400)})
+    d = df.drop_duplicates()
+    f = d.groupby("u")["p"].min().rename("c").reset_index()
+    m = d.merge(f, on="u")
+    m["off"] = m["p"] - m["c"]
+    m = m[m["off"] <= 3]
+    want = (m.groupby(["c", "off"]).size().rename("n_keys").reset_index()
+            .rename(columns={"c": "cohort_period", "off": "period_offset"})
+            .sort_values(["cohort_period", "period_offset"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
