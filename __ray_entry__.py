@@ -681,6 +681,45 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_concurrent_events(sf_dir: str):
+    """Interval-overlap self-join: pairs of events from DIFFERENT users
+    whose activity spans (ts .. ts + (event_id%45+1) minutes) overlap —
+    concurrent-activity detection. Tiled exchange (30-min tiles), pairs
+    kept only in the canonical tile of the overlap start (exact, no
+    dedup pass); a<b + cross-user filters applied per batch after."""
+    import pyarrow.compute as pc
+
+    from bionext_ray.ops.relational import interval_join
+
+    def prep(suffix):
+        def fn(b: pa.Table) -> pa.Table:
+            ts = b["ts"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            dur = (eid % 45 + 1) * 60_000_000
+            return pa.table({
+                f"id_{suffix}": pa.array(eid, pa.int64()),
+                f"user_{suffix}": b["user_id"],
+                f"s_{suffix}": pa.array(ts, pa.int64()),
+                f"e_{suffix}": pa.array(ts + dur, pa.int64())})
+        return fn
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    left = ev.map_batches(prep("a"), batch_format="pyarrow")
+    right = ev.map_batches(prep("b"), batch_format="pyarrow")
+    joined = interval_join(left, right, ("s_a", "e_a"), ("s_b", "e_b"),
+                           ["id_a", "user_a"], ["id_b", "user_b"],
+                           tile=30 * 60_000_000)
+
+    def shape(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(b["id_a"], b["id_b"]),
+                       pc.not_equal(b["user_a"], b["user_b"]))
+        out = b.filter(keep)
+        return out.select(["id_a", "id_b"])
+
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
 def q_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix: users bucketed by first-event week,
     counted per (cohort week, week offset ≤ 8) of later activity. One
@@ -1558,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_pivot": q_events_pivot,
         "cohort_retention": q_cohort_retention,
+        "concurrent_events": q_concurrent_events,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2116,6 +2156,17 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "concurrent_events": """
+            WITH iv AS (SELECT event_id, user_id,
+                               epoch_us(ts) AS s,
+                               epoch_us(ts)
+                               + (event_id % 45 + 1) * 60000000 AS e
+                        FROM events)
+            SELECT a.event_id AS id_a, b.event_id AS id_b
+            FROM iv a JOIN iv b
+              ON a.event_id < b.event_id AND a.user_id <> b.user_id
+             AND a.s < b.e AND b.s < a.e
         """,
         "cohort_retention": """
             WITH a AS (SELECT user_id,

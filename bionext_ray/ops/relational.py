@@ -1363,3 +1363,125 @@ def cohort_retention(events_ds, key_col: str, ts_col: str,
            .map_groups(per_bucket, batch_format="pandas"))
     return partial_final_agg(per, ["cohort_period", "period_offset"],
                              [("n_keys", "sum", "n_keys")])
+
+
+def interval_join(left_ds, right_ds, l_span: tuple[str, str],
+                  r_span: tuple[str, str], l_cols: list[str],
+                  r_cols: list[str], tile: int,
+                  shuffle_partitions: int | None = None):
+    """Interval OVERLAP join: every (left, right) row pair whose half-open
+    integer spans intersect — ``l_start < r_end AND r_start < l_end``
+    (time-range conflicts, concurrent sessions, genomic range overlap).
+    Spans are int64 (e.g. epoch micros); output columns are
+    l_cols + r_cols + the four span columns (caller keeps names disjoint).
+
+    The tiling pattern: each interval is emitted once per ``tile``-width
+    window it touches, pairs meet in a tile-bucketed exchange, and each
+    candidate pair is KEPT only in the canonical tile containing the
+    overlap's start (max of the two starts) — one exchange, exact
+    semantics, no second dedup pass, because every overlapping pair
+    shares at least the canonical tile by construction. Per-bucket
+    matching is one C merge on the tile id + two vectorized filters.
+
+    Fan-out contract (the documented partitioning assumption): a span is
+    replicated ceil(len/tile) times, so pick ``tile`` near the TYPICAL
+    span length — long-tail spans cost their length; empty spans
+    (end <= start) match nothing.
+    """
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+
+    def explode(s_col, e_col, keep, s_out, e_out):
+        def fn(b: pa.Table) -> pa.Table:
+            s = b[s_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            e = b[e_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = e > s
+            s, e = s[ok], e[ok]
+            t_lo = s // tile
+            t_hi = (e - 1) // tile
+            counts = (t_hi - t_lo + 1)
+            idx = np.repeat(np.arange(len(s)), counts)
+            offs = (np.arange(counts.sum())
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+            cols = {
+                "__tile": pa.array(t_lo[idx] + offs, pa.int64()),
+                s_out: pa.array(s[idx], pa.int64()),
+                e_out: pa.array(e[idx], pa.int64()),
+            }
+            base = b.filter(pa.array(ok))
+            for c in keep:
+                cols[c] = base[c].take(pa.array(idx, pa.int64()))
+            t = pa.table(cols)
+            bkt = (t_lo[idx] + offs) % P
+            return t.append_column("__bucket",
+                                   pa.array(bkt.astype(np.int64),
+                                            pa.int64()))
+        return fn
+
+    lt = left_ds.map_batches(
+        explode(l_span[0], l_span[1], l_cols, "__ls", "__le"),
+        batch_format="pyarrow")
+    rt = right_ds.map_batches(
+        explode(r_span[0], r_span[1], r_cols, "__rs", "__re"),
+        batch_format="pyarrow")
+
+    # union needs ONE schema: each side pads the other side's columns
+    # with typed nulls (same pattern as bloom_semi_join's tagged union)
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    ltype = dict(zip(lsch.names, lsch.types))
+    rtype = dict(zip(rsch.names, rsch.types))
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {c: b[c] for c in b.column_names}
+            if side == 0:
+                cols["__rs"] = pa.nulls(n, pa.int64())
+                cols["__re"] = pa.nulls(n, pa.int64())
+                for c in r_cols:
+                    cols[c] = pa.nulls(n, rtype[c])
+            else:
+                cols["__ls"] = pa.nulls(n, pa.int64())
+                cols["__le"] = pa.nulls(n, pa.int64())
+                for c in l_cols:
+                    cols[c] = pa.nulls(n, ltype[c])
+            cols["__side"] = pa.array(np.full(n, side, np.int8), pa.int8())
+            order = (["__tile", "__ls", "__le", "__rs", "__re"]
+                     + l_cols + r_cols + ["__bucket", "__side"])
+            return pa.table({c: cols[c] for c in order})
+        return fn
+
+    out_cols = (l_cols + r_cols
+                + [l_span[0], l_span[1], r_span[0], r_span[1]])
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        # the padded nulls of the OTHER side make pandas lift span columns
+        # to float; re-int them after the side split (exact below 2^53,
+        # and int64 again from here on)
+        import pyarrow as _pa
+        lcast = {c: np.int64 for c in l_cols
+                 if _pa.types.is_integer(ltype[c])}
+        rcast = {c: np.int64 for c in r_cols
+                 if _pa.types.is_integer(rtype[c])}
+        lf = (g[g["__side"] == 0][["__tile", "__ls", "__le"] + l_cols]
+              .astype({"__ls": np.int64, "__le": np.int64, **lcast}))
+        rf = (g[g["__side"] == 1][["__tile", "__rs", "__re"] + r_cols]
+              .astype({"__rs": np.int64, "__re": np.int64, **rcast}))
+        m = lf.merge(rf, on="__tile")
+        if not len(m):
+            return pd.DataFrame({c: [] for c in out_cols})
+        ls, le = m["__ls"].to_numpy(), m["__le"].to_numpy()
+        rs, re = m["__rs"].to_numpy(), m["__re"].to_numpy()
+        keep = ((ls < re) & (rs < le)
+                & (np.maximum(ls, rs) // tile == m["__tile"].to_numpy()))
+        m = m[keep]
+        m = m.rename(columns={"__ls": l_span[0], "__le": l_span[1],
+                              "__rs": r_span[0], "__re": r_span[1]})
+        return m[out_cols]
+
+    tagged = (lt.map_batches(tag(0), batch_format="pyarrow")
+              .union(rt.map_batches(tag(1), batch_format="pyarrow")))
+    return (coalesce_for_exchange(tagged, P)
+            .groupby("__bucket")
+            .map_groups(bucket_join, batch_format="pandas"))

@@ -529,3 +529,29 @@ def test_cohort_retention_matches_pandas(ray_session):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   want.astype("int64"))
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    """Overlap pairs vs O(n^2) brute force: spans shorter and longer than
+    the tile, multi-tile overlaps (dedup via canonical tile), touching
+    (non-overlapping) half-open boundaries, empty spans."""
+    from bionext_ray.ops.relational import interval_join
+    rng = np.random.default_rng(73)
+    n = 120
+    ls = rng.integers(0, 1000, n)
+    le = ls + rng.integers(0, 90, n)          # includes empty spans
+    rs = rng.integers(0, 1000, n)
+    re_ = rs + rng.integers(1, 250, n)        # some spans >> tile
+    left = _ds({"lid": pa.array(np.arange(n), pa.int64()),
+                "ls": pa.array(ls, pa.int64()),
+                "le": pa.array(le, pa.int64())}).repartition(3)
+    right = _ds({"rid": pa.array(np.arange(n), pa.int64()),
+                 "rs": pa.array(rs, pa.int64()),
+                 "re": pa.array(re_, pa.int64())}).repartition(4)
+    got = interval_join(left, right, ("ls", "le"), ("rs", "re"),
+                        ["lid"], ["rid"], tile=64).to_pandas()
+    want = {(i, j) for i in range(n) for j in range(n)
+            if ls[i] < re_[j] and rs[j] < le[i] and le[i] > ls[i]
+            and re_[j] > rs[j]}
+    assert set(zip(got["lid"], got["rid"])) == want
+    assert len(got) == len(want)              # canonical-tile dedup exact
