@@ -59,7 +59,8 @@ def _run_bench() -> dict:
         "events_window_frames", "adjacency", "term_cooccurrence",
         "sorted_neighborhood", "contamination", "events_mode_type",
         "events_quantiles_cont", "label_centroids", "typo_pairs",
-        "events_funnel", "events_pivot",
+        "events_funnel", "events_pivot", "cohort_retention",
+        "concurrent_events",
     ]
 
     per_query = {}

@@ -60,10 +60,15 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     validate_modules(args)
 
+    import os
+
     import ray
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
-                  "logging_level": "ERROR"}
+        # under `ray job submit` the runtime injects RAY_ADDRESS for the
+        # running cluster — honor it so the same command works on a real
+        # cluster and in local mode (sandbox presets RAY_ADDRESS=local)
+        kwargs = {"address": os.environ.get("RAY_ADDRESS", "local"),
+                  "include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
