@@ -681,6 +681,38 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_orders_diff(sf_dir: str):
+    """Snapshot diff (CDC primitive): orders vs a deterministically
+    mutated second version — keys %97==0 get +1 cent (changed), %89!=0
+    kept (removed where %89==0), keys %101==0 re-added with offset ids
+    (added). |delta|-sized output from ONE tagged key-bucketed exchange."""
+    from bionext_ray.ops.relational import table_diff
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "cents")
+        return b.select(["o_orderkey", "cents"])
+
+    old = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+                ).map_batches(prep, batch_format="pyarrow")
+
+    def mutate(b: pa.Table) -> pa.Table:
+        b = _cents(b, "o_totalprice", "cents")
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        c = np.where(k % 97 == 0, c + 1, c)
+        keep = k % 89 != 0
+        k2, c2 = k[keep], c[keep]
+        addk = k[k % 101 == 0] + 10_000_000
+        addc = np.full(len(addk), 123_456, np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate([k2, addk]), pa.int64()),
+            "cents": pa.array(np.concatenate([c2, addc]), pa.int64())})
+
+    new = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+                ).map_batches(mutate, batch_format="pyarrow")
+    return table_diff(old, new, ["o_orderkey"], ["cents"])
+
+
 def q_concurrent_events(sf_dir: str):
     """Interval-overlap self-join: pairs of events from DIFFERENT users
     whose activity spans (ts .. ts + (event_id%45+1) minutes) overlap —
@@ -1598,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "cohort_retention": q_cohort_retention,
         "concurrent_events": q_concurrent_events,
+        "orders_diff": q_orders_diff,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2156,6 +2189,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "orders_diff": """
+            WITH old AS (SELECT o_orderkey,
+                                CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents FROM orders),
+                 neu AS (
+                    SELECT o_orderkey,
+                           CASE WHEN o_orderkey % 97 = 0 THEN cents + 1
+                                ELSE cents END AS cents
+                    FROM old WHERE o_orderkey % 89 <> 0
+                    UNION ALL
+                    SELECT o_orderkey + 10000000, 123456
+                    FROM old WHERE o_orderkey % 101 = 0)
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM old o FULL JOIN neu n ON o.o_orderkey = n.o_orderkey
+            WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.cents <> n.cents
         """,
         "concurrent_events": """
             WITH iv AS (SELECT event_id, user_id,

@@ -1485,3 +1485,66 @@ def interval_join(left_ds, right_ds, l_span: tuple[str, str],
     return (coalesce_for_exchange(tagged, P)
             .groupby("__bucket")
             .map_groups(bucket_join, batch_format="pandas"))
+
+
+def table_diff(old_ds, new_ds, key_cols: list[str], val_cols: list[str],
+               shuffle_partitions: int | None = None):
+    """Snapshot diff (the CDC / regression-check primitive): compare two
+    versions of a keyed table and emit one row per difference —
+    ``change`` ∈ {'added', 'removed', 'changed'} with the key columns.
+    Unchanged rows (key present in both, all val_cols equal) emit
+    nothing, so the output is |delta|-sized, never |table|-sized.
+
+    ONE exchange: both sides union-tagged and key-hash-bucketed (the
+    set_op shape, but row-level with value comparison); per bucket one C
+    outer merge classifies adds/removes/changes vectorized. Duplicate
+    keys within a side are the caller's contract violation (first row
+    wins, deterministic after an in-bucket stable sort)."""
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+    cols = key_cols + val_cols
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.select(cols)
+            bkt = np.zeros(b.num_rows, np.int64)
+            for k in key_cols:
+                karr = b[k].to_numpy(zero_copy_only=False)
+                bkt = (bkt * 31 + _key_buckets(karr, P)) % P
+            t = t.append_column("__side", pa.array(
+                np.full(b.num_rows, side, np.int8), pa.int8()))
+            return t.append_column("__bucket", pa.array(bkt, pa.int64()))
+        return fn
+
+    def bucket_diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols, kind="mergesort")
+        a = (g[g["__side"] == 0][cols]
+             .drop_duplicates(key_cols, keep="first"))
+        b = (g[g["__side"] == 1][cols]
+             .drop_duplicates(key_cols, keep="first"))
+        m = a.merge(b, on=key_cols, how="outer", suffixes=("_o", "_n"),
+                    indicator=True)
+        added = m["_merge"] == "right_only"
+        removed = m["_merge"] == "left_only"
+        changed = m["_merge"] == "both"
+        if val_cols:
+            same = np.ones(len(m), bool)
+            for v in val_cols:
+                same &= (m[f"{v}_o"] == m[f"{v}_n"]).to_numpy()
+            changed = changed.to_numpy() & ~same
+        else:
+            changed = np.zeros(len(m), bool)
+        out = m[added.to_numpy() | removed.to_numpy() | changed]
+        change = np.where(out["_merge"] == "right_only", "added",
+                          np.where(out["_merge"] == "left_only",
+                                   "removed", "changed"))
+        res = out[key_cols].copy()
+        res["change"] = change
+        return res.reset_index(drop=True)
+
+    tagged = (old_ds.map_batches(tag(0), batch_format="pyarrow")
+              .union(new_ds.map_batches(tag(1), batch_format="pyarrow")))
+    return (coalesce_for_exchange(tagged, P)
+            .groupby("__bucket")
+            .map_groups(bucket_diff, batch_format="pandas"))

@@ -555,3 +555,19 @@ def test_interval_join_matches_bruteforce(ray_session):
             and re_[j] > rs[j]}
     assert set(zip(got["lid"], got["rid"])) == want
     assert len(got) == len(want)              # canonical-tile dedup exact
+
+
+def test_table_diff_classes_and_split_invariance(ray_session):
+    from bionext_ray.ops.relational import table_diff
+    old = _ds({"k": pa.array([1, 2, 3, 4], pa.int64()),
+               "v": pa.array([10, 20, 30, 40], pa.int64()),
+               "w": pa.array(["a", "b", "c", "d"], pa.string())})
+    new = _ds({"k": pa.array([1, 2, 5], pa.int64()),
+               "v": pa.array([10, 21, 50], pa.int64()),
+               "w": pa.array(["a", "b", "e"], pa.string())})
+    for parts in (1, 3):
+        got = (table_diff(old.repartition(parts), new.repartition(parts),
+                          ["k"], ["v", "w"])
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert dict(zip(got["k"], got["change"])) == {
+            2: "changed", 3: "removed", 4: "removed", 5: "added"}
