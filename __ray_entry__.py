@@ -681,6 +681,35 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_image_neardup(sf_dir: str):
+    """Multimodal near-dup: deterministic BMPs per doc (docs ≡ same value
+    mod 40 render near-identical patterns with small doc-specific noise),
+    aHash on an actor pool, top-bit buckets, exact in-bucket Hamming
+    verify ≤ 6. Rows-only (no SQL BMP decoder); pinned by
+    tests/test_multimodal.py round-trip + recall tests."""
+    from bionext_ray.ops.multimodal import encode_bmp, image_neardup_pairs
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_bmp(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for d in batch["doc_id"].to_pylist():
+            h, w = 16, 16
+            base = d % 40                     # 40 visual classes
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                  np.arange(3), indexing="ij")
+            # structural classes (checkerboard cell sizes) — aHash is
+            # shift-invariant, so brightness-only classes would collide
+            px = 255 * (((x // (1 + base % 5))
+                         + (y // (1 + (base // 5) % 8))) % 2) + 0 * c
+            px[0, 0, 0] = d % 256             # doc-specific 1-px noise
+            payloads.append(encode_bmp(px.astype(np.uint8)))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return image_neardup_pairs(
+        ds.map_batches(to_bmp, batch_format="pyarrow"), max_hamming=6)
+
+
 def q_orders_diff(sf_dir: str):
     """Snapshot diff (CDC primitive): orders vs a deterministically
     mutated second version — keys %97==0 get +1 cent (changed), %89!=0
@@ -1631,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "concurrent_events": q_concurrent_events,
         "orders_diff": q_orders_diff,
+        "image_neardup": q_image_neardup,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,

@@ -325,3 +325,97 @@ def sample_video_frames(ds, every_n: int = 1, id_col: str = "doc_id",
             "payload_col": payload_col, "fake": fake},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def ahash_image(payload: bytes, grid: int = 8) -> int:
+    """Average-hash perceptual fingerprint of a decoded BMP: downsample to
+    a grid x grid luma matrix (mean over cell blocks), threshold at the
+    global mean, pack row-major into an integer — near-identical images
+    (resizes, small noise) agree on most bits; Hamming distance ranks
+    similarity. Pure integer/numpy arithmetic, deterministic everywhere."""
+    px = decode_bmp(payload).astype(np.int64)
+    luma = px.sum(axis=2)                      # 3x-scaled luma, integer
+    h, w = luma.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    cells = np.empty((grid, grid), np.int64)
+    for i in range(grid):
+        for j in range(grid):
+            blk = luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                       xs[j]:max(xs[j + 1], xs[j] + 1)]
+            cells[i, j] = blk.sum() // blk.size
+    bits = (cells >= cells.sum() // (grid * grid)).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+class AHashStage:
+    """Actor-pool stage: payload -> (ahash, bucket of top bits). Decode +
+    hash once per image in __call__; grid precomputed in __init__."""
+
+    def __init__(self, grid: int = 8, bucket_bits: int = 16):
+        self.grid = grid
+        self.bucket_bits = bucket_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_valid(batch["payload"]))
+        hs = [ahash_image(p, self.grid)
+              for p in batch["payload"].to_pylist()]
+        shift = self.grid * self.grid - self.bucket_bits
+        # hashes are unsigned grid*grid-bit ints; store two's-complement
+        # int64 (top bit set would overflow a signed column otherwise)
+        signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hs]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "ahash": pa.array(signed, pa.int64()),
+            "hash_bucket": pa.array([h >> shift for h in hs],
+                                    pa.int64())})
+
+
+def image_neardup_pairs(ds, max_hamming: int = 6, grid: int = 8,
+                        bucket_bits: int = 16,
+                        shuffle_partitions: int | None = None):
+    """Perceptual image near-dup candidates: aHash per image on an actor
+    pool, bucket by the hash's TOP bits (near-identical images share them
+    — coarse structure lands in the high-order cells), then inside each
+    bucket a vectorized XOR-popcount pair scan keeps pairs within
+    ``max_hamming`` bits. The multimodal member of the dedup family: same
+    block-then-verify shape as MinHash-LSH, with Hamming verification
+    exact INSIDE buckets (cross-bucket near-dups beyond the top-bit
+    agreement are the documented recall trade-off, like any LSH)."""
+    import pandas as pd
+
+    from bionext_ray.ops.relational import actor_pool_size
+
+    hashed = ds.map_batches(AHashStage,
+                            fn_constructor_kwargs={
+                                "grid": grid, "bucket_bits": bucket_bits},
+                            batch_format="pyarrow",
+                            concurrency=actor_pool_size())
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        h = g["ahash"].to_numpy(np.int64).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        n = len(h)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.array([], dtype=np.int64),
+                                 "id_b": pd.array([], dtype=np.int64),
+                                 "hamming": pd.array([], dtype=np.int64)})
+        iu, ju = np.triu_indices(n, k=1)
+        x = h[iu] ^ h[ju]
+        # vectorized byte-wise popcount via a 256-entry lookup
+        lut = np.array([bin(i).count("1") for i in range(256)], np.int64)
+        ham = np.zeros(len(x), np.int64)
+        for k in range(8):
+            ham += lut[np.bitwise_and(x >> np.uint64(8 * k),
+                                      np.uint64(0xFF)).astype(np.int64)]
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                             "hamming": ham[keep]})
+
+    return (hashed.groupby("hash_bucket")
+            .map_groups(bucket_pairs, batch_format="pandas"))

@@ -145,3 +145,59 @@ def test_wav_rejects_short_fmt_chunk():
                + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body)
     with pytest.raises(ValueError, match="short fmt chunk"):
         decode_wav(payload)
+
+
+def test_ahash_invariance_and_discrimination():
+    """aHash ignores small noise (1 px) but separates different patterns;
+    resize-stability within a couple of bits."""
+    import numpy as np
+
+    from bionext_ray.ops.multimodal import ahash_image, encode_bmp
+
+    def pat(base, h=16, w=16, noise=None):
+        y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                              indexing="ij")
+        # class-dependent checkerboard (structure, not brightness —
+        # aHash is deliberately shift-invariant)
+        px = 255 * (((x // (1 + base % 4)) + (y // (1 + (base // 4) % 4)))
+                    % 2) + 0 * c
+        if noise is not None:
+            px[0, 0, 0] = noise
+        return encode_bmp(px.astype(np.uint8))
+
+    h_a = ahash_image(pat(3))
+    h_a_noise = ahash_image(pat(3, noise=250))
+    h_b = ahash_image(pat(29))
+    pop = lambda x: bin(x).count("1")
+    assert pop(h_a ^ h_a_noise) <= 2
+    assert pop(h_a ^ h_b) >= 6
+
+
+def test_image_neardup_pairs_recall(ray_session):
+    """Docs sharing a visual class must pair (hamming ~0); cross-class
+    pairs must not survive the Hamming gate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from bionext_ray.ops.multimodal import encode_bmp, image_neardup_pairs
+
+    def pat(base, noise):
+        y, x, c = np.meshgrid(np.arange(16), np.arange(16), np.arange(3),
+                              indexing="ij")
+        px = 255 * (((x // (1 + base)) + (y // (1 + 2 * base))) % 2) + 0 * c
+        px[0, 0, 0] = noise
+        return encode_bmp(px.astype(np.uint8))
+
+    rows = [(i, pat(i % 3, 17 * i % 251)) for i in range(12)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+    })).repartition(3)
+    got = image_neardup_pairs(ds, max_hamming=6).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    same = {(a, b) for a in range(12) for b in range(a + 1, 12)
+            if a % 3 == b % 3}
+    assert same <= pairs            # full recall within a class
+    for a, b in pairs:
+        assert a % 3 == b % 3       # no cross-class survivors
