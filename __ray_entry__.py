@@ -974,7 +974,7 @@ def q_heavy_users(sf_dir: str):
     plain HAVING query — output identical for any capacity."""
     from bionext_ray.ops.sketch import heavy_hitters
     events = _read(sf_dir, "events", ["user_id"])
-    return heavy_hitters(events, "user_id", threshold=70, capacity=1024)
+    return heavy_hitters(events, "user_id", threshold=70)
 
 
 def q_custkeys_no_orders_setop(sf_dir: str):

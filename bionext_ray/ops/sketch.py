@@ -124,7 +124,8 @@ def kmv_distinct(ds, col: str, k: int = 64):
                      "is_exact": pa.array([exact], pa.bool_())})
 
 
-def heavy_hitters(ds, key_col: str, threshold: int, capacity: int = 4096,
+def heavy_hitters(ds, key_col: str, threshold: int,
+                  capacity: int | None = None,
                   shuffle_partitions: int | None = None):
     """EXACT frequency heavy hitters: every key with global row count
     >= ``threshold``, with its exact count — ``GROUP BY key HAVING
@@ -152,12 +153,18 @@ def heavy_hitters(ds, key_col: str, threshold: int, capacity: int = 4096,
     plain HAVING query for ANY capacity — capacity only bounds what
     crosses the exchange. Raises if threshold <= E (capacity too small
     to prune soundly: raise capacity or run bucketed_agg directly).
+    ``capacity=None`` (default) auto-sizes to ~4N/threshold so the bound
+    stays sound at any input scale.
     """
     import ray
 
     from bionext_ray.ops.relational import bucketed_agg
 
     n_total = ds.count()
+    if capacity is None:
+        # auto-size: err bound <= threshold/4, so pruning stays sound at
+        # any input scale (the whole point of a threshold op)
+        capacity = max(1024, (4 * n_total) // max(threshold, 1))
     err_bound = n_total // (capacity + 1) + 1
     if threshold <= err_bound:
         raise ValueError(
