@@ -681,6 +681,61 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (3-way join composition): BUILDING-segment customers
+    × their pre-cutoff orders × post-cutoff lineitems, revenue per order.
+    Small side (filtered customers) broadcast; orders×lineitem is the
+    big-big shuffle_join; revenue in integer units (cents × (100-disc))."""
+    import pyarrow.compute as pc
+
+    from bionext_ray.ops.relational import (broadcast_join, bucketed_agg,
+                                            estimate_partitions,
+                                            shuffle_join)
+    cutoff = np.datetime64("1998-01-01", "us")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"])
+
+    cust_keys = cust.map_batches(seg, batch_format="pyarrow").to_pandas()
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+        return b.select(["o_orderkey", "o_custkey"])
+
+    o_f = broadcast_join(orders.map_batches(pre, batch_format="pyarrow"),
+                         cust_keys.rename(columns={"c_custkey": "o_custkey"}),
+                         on="o_custkey")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def post(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+        b = _cents(b, "l_extendedprice", "ep_cents")
+        d = np.rint(b["l_discount"].to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        ep = b["ep_cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_units": pa.array(ep * (100 - d), pa.int64())})
+
+    sp = estimate_partitions(f"{sf_dir}/lineitem.parquet")
+    joined = shuffle_join(li.map_batches(post, batch_format="pyarrow"),
+                          o_f, ("l_orderkey", "o_orderkey"),
+                          ["rev_units"], [], how="inner",
+                          shuffle_partitions=sp)
+    return bucketed_agg(joined, ["l_orderkey"],
+                        [("rev_units", "sum", "revenue_units")],
+                        shuffle_partitions=sp)
+
+
 def q_image_neardup(sf_dir: str):
     """Multimodal near-dup: deterministic BMPs per doc (docs ≡ same value
     mod 40 render near-identical patterns with small doc-specific noise),
@@ -1661,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_events": q_concurrent_events,
         "orders_diff": q_orders_diff,
         "image_neardup": q_image_neardup,
+        "shipping_priority": q_shipping_priority,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2219,6 +2275,19 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_units
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey
         """,
         "orders_diff": """
             WITH old AS (SELECT o_orderkey,
