@@ -799,8 +799,10 @@ def q_orders_diff(sf_dir: str):
 
 def q_concurrent_events(sf_dir: str):
     """Interval-overlap self-join: pairs of events from DIFFERENT users
-    whose activity spans (ts .. ts + (event_id%45+1) minutes) overlap —
-    concurrent-activity detection. Tiled exchange (30-min tiles), pairs
+    whose activity spans (ts .. ts + (event_id%9+1) minutes) overlap —
+    concurrent-activity detection (short spans keep the pair count
+    linear-ish in events at bench scale; the tiling math is identical at
+    any span). Tiled exchange (10-min tiles), pairs
     kept only in the canonical tile of the overlap start (exact, no
     dedup pass); a<b + cross-user filters applied per batch after."""
     import pyarrow.compute as pc
@@ -812,7 +814,7 @@ def q_concurrent_events(sf_dir: str):
             ts = b["ts"].to_numpy(zero_copy_only=False).astype(
                 "datetime64[us]").astype(np.int64)
             eid = b["event_id"].to_numpy(zero_copy_only=False)
-            dur = (eid % 45 + 1) * 60_000_000
+            dur = (eid % 9 + 1) * 60_000_000
             return pa.table({
                 f"id_{suffix}": pa.array(eid, pa.int64()),
                 f"user_{suffix}": b["user_id"],
@@ -825,7 +827,7 @@ def q_concurrent_events(sf_dir: str):
     right = ev.map_batches(prep("b"), batch_format="pyarrow")
     joined = interval_join(left, right, ("s_a", "e_a"), ("s_b", "e_b"),
                            ["id_a", "user_a"], ["id_b", "user_b"],
-                           tile=30 * 60_000_000)
+                           tile=10 * 60_000_000)
 
     def shape(b: pa.Table) -> pa.Table:
         keep = pc.and_(pc.less(b["id_a"], b["id_b"]),
@@ -2313,7 +2315,7 @@ def oracle_sql() -> dict[str, str]:
             WITH iv AS (SELECT event_id, user_id,
                                epoch_us(ts) AS s,
                                epoch_us(ts)
-                               + (event_id % 45 + 1) * 60000000 AS e
+                               + (event_id % 9 + 1) * 60000000 AS e
                         FROM events)
             SELECT a.event_id AS id_a, b.event_id AS id_b
             FROM iv a JOIN iv b
