@@ -681,6 +681,21 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_profile_orders(sf_dir: str):
+    """Table profiler: per-column row/null counts, exact distinct
+    cardinality, native min/max — the pre-training data-quality pass.
+    Scalar partials merge on the driver (O(batches × cols) scalars);
+    exact distincts through ONE column-tagged bucketed exchange of
+    per-batch uniques."""
+    from bionext_ray.ops.profile import profile_table
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_orderpriority"])
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"])
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape (3-way join composition): BUILDING-segment customers
     × their pre-cutoff orders × post-cutoff lineitems, revenue per order.
@@ -1719,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_diff": q_orders_diff,
         "image_neardup": q_image_neardup,
         "shipping_priority": q_shipping_priority,
+        "profile_orders": q_profile_orders,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2277,6 +2293,39 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_null,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   COUNT(DISTINCT o_orderstatus),
+                   CAST(MIN(o_orderstatus) AS VARCHAR),
+                   CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1
+                        ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_orderpriority),
+                   CAST(MIN(o_orderpriority) AS VARCHAR),
+                   CAST(MAX(o_orderpriority) AS VARCHAR)
+            FROM orders
         """,
         "shipping_priority": """
             SELECT l.l_orderkey,

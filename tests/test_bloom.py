@@ -156,3 +156,20 @@ def test_contamination_batch_token_boundaries(ray_session):
     both = contamination_batch(t, ["scan merge", "the"], flag_min=2)
     assert both["n_hits"].to_pylist()[0] == 2
     assert both["contaminated"].to_pylist()[0] is True
+
+
+def test_profile_table_nulls_and_types(ray_session):
+    from bionext_ray.ops.profile import profile_table
+    t = pa.table({
+        "i": pa.array([3, None, 10, 3, 9], pa.int64()),
+        "s": pa.array(["b", "a", None, None, "zz"], pa.string())})
+    got = (profile_table(ray.data.from_arrow(t).repartition(3),
+                         ["i", "s"])
+           .to_pandas().set_index("column"))
+    assert got.loc["i", "n_rows"] == 5 and got.loc["i", "n_null"] == 1
+    assert got.loc["i", "n_distinct"] == 3          # 3, 10, 9
+    assert got.loc["i", "min_val"] == "3"           # numeric, not "10"<"3"
+    assert got.loc["i", "max_val"] == "10"
+    assert got.loc["s", "n_null"] == 2
+    assert got.loc["s", "n_distinct"] == 3
+    assert got.loc["s", "min_val"] == "a" and got.loc["s", "max_val"] == "zz"
