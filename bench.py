@@ -60,7 +60,8 @@ def _run_bench() -> dict:
         "sorted_neighborhood", "contamination", "events_mode_type",
         "events_quantiles_cont", "label_centroids", "typo_pairs",
         "events_funnel", "events_pivot", "cohort_retention",
-        "concurrent_events",
+        "concurrent_events", "orders_diff", "shipping_priority",
+        "profile_orders",
     ]
 
     per_query = {}
