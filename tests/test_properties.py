@@ -76,3 +76,68 @@ def test_long_docs_multiwindow_consistency(text):
     adjacent-span quirk, which both paths share)."""
     long_text = (text + " ") * 6 + text
     assert tag_document(long_text, MATCHER) == _full_bio_path(long_text)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_sorted_neighborhood_random(ray_session, seed):
+    """Property: distributed ROWS-window pairs == brute force for random
+    key distributions (dup-heavy and near-unique) and random windows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from bionext_ray.ops.dedup import sorted_neighborhood_pairs
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 120))
+    w = int(rng.integers(1, 4))
+    kcard = int(rng.integers(2, 30))
+    keys = [f"k{rng.integers(0, kcard):03d}" for _ in range(n)]
+    ids = rng.permutation(n)
+    order = sorted(range(n), key=lambda i: (keys[i], ids[i]))
+    want = {(ids[order[i]], ids[order[i + d]])
+            for d in range(1, w + 1) for i in range(n - d)}
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "i": pa.array(ids, pa.int64())})).repartition(
+            int(rng.integers(1, 5)))
+    got = sorted_neighborhood_pairs(ds, "k", "i", window=w).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    assert len(got) == len(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_interval_join_random(ray_session, seed):
+    """Property: tiled overlap join == brute force for random spans and
+    random tile widths (incl. tiles far smaller/larger than spans)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from bionext_ray.ops.relational import interval_join
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 80))
+    tile = int(rng.integers(4, 300))
+    ls = rng.integers(0, 500, n)
+    le = ls + rng.integers(0, 120, n)
+    rs = rng.integers(0, 500, n)
+    re_ = rs + rng.integers(0, 120, n)
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array(np.arange(n), pa.int64()),
+        "ls": pa.array(ls, pa.int64()),
+        "le": pa.array(le, pa.int64())})).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "rs": pa.array(rs, pa.int64()),
+        "re": pa.array(re_, pa.int64())})).repartition(3)
+    got = interval_join(left, right, ("ls", "le"), ("rs", "re"),
+                        ["lid"], ["rid"], tile=tile).to_pandas()
+    want = {(i, j) for i in range(n) for j in range(n)
+            if ls[i] < re_[j] and rs[j] < le[i]
+            and le[i] > ls[i] and re_[j] > rs[j]}
+    if len(got) == 0:          # empty Ray->pandas drops column names
+        assert want == set()
+    else:
+        assert set(zip(got["lid"], got["rid"])) == want
+        assert len(got) == len(want)
