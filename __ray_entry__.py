@@ -681,6 +681,16 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_events_gapfill(sf_dir: str):
+    """Dense daily per-user event counts, gaps filled with explicit zeros
+    between each user's first and last active day — the densification a
+    rolling/forecast model needs (a plain groupby silently drops empty
+    days). One key-bucketed exchange, vectorized range explode."""
+    from bionext_ray.ops.relational import gapfill_counts
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return gapfill_counts(ev, "user_id", "ts", width_s=86400)
+
+
 def q_profile_orders(sf_dir: str):
     """Table profiler: per-column row/null counts, exact distinct
     cardinality, native min/max — the pre-training data-quality pass.
@@ -1735,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_neardup": q_image_neardup,
         "shipping_priority": q_shipping_priority,
         "profile_orders": q_profile_orders,
+        "events_gapfill": q_events_gapfill,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2293,6 +2304,23 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "events_gapfill": """
+            WITH a AS (SELECT user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                              AS b
+                       FROM events),
+                 occ AS (SELECT user_id, b, COUNT(*) AS n_events
+                         FROM a GROUP BY user_id, b),
+                 rng AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+                         FROM occ GROUP BY user_id),
+                 grid AS (SELECT user_id,
+                                 unnest(generate_series(lo, hi)) AS b
+                          FROM rng)
+            SELECT g.user_id, g.b AS bucket,
+                   COALESCE(o.n_events, 0) AS n_events
+            FROM grid g LEFT JOIN occ o
+              ON g.user_id = o.user_id AND g.b = o.b
         """,
         "profile_orders": """
             SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,

@@ -1548,3 +1548,53 @@ def table_diff(old_ds, new_ds, key_cols: list[str], val_cols: list[str],
     return (coalesce_for_exchange(tagged, P)
             .groupby("__bucket")
             .map_groups(bucket_diff, batch_format="pandas"))
+
+
+def gapfill_counts(events_ds, key_col: str, ts_col: str, width_s: int,
+                   shuffle_partitions: int | None = None):
+    """Dense per-key time series: event counts per ``width_s`` bucket with
+    the GAPS FILLED — every key emits one row for EVERY bucket between its
+    first and last event, zeros included (the densification step before
+    any rolling/forecast model; a plain groupby silently drops empty
+    buckets). Output: (key, bucket, n_events).
+
+    ONE key-bucketed exchange; per bucket a C groupby counts occupied
+    (key, bucket) cells, a per-key [min, max] range explode (np.repeat +
+    arange — vectorized over all keys at once) builds the dense grid, and
+    a left merge fills zeros. The grid is |keys x span| rows — the
+    documented fan-out: a key spanning years at second granularity costs
+    its span; pick width_s to match the analysis resolution."""
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].to_numpy(zero_copy_only=False)
+        bucket = (ts.astype("datetime64[s]").astype(np.int64)
+                  // width_s).astype(np.int64)
+        karr = b[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: b[key_col],
+            "__b": pa.array(bucket, pa.int64()),
+            "__bucket": pa.array(_key_buckets(karr, P), pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        occ = (g.groupby([key_col, "__b"], sort=False)
+               .size().rename("n_events").reset_index())
+        rng = occ.groupby(key_col, sort=False)["__b"].agg(["min", "max"])
+        spans = (rng["max"] - rng["min"] + 1).to_numpy()
+        keys = np.repeat(rng.index.to_numpy(), spans)
+        offs = (np.arange(spans.sum())
+                - np.repeat(np.cumsum(spans) - spans, spans))
+        grid = pd.DataFrame({
+            key_col: keys,
+            "__b": np.repeat(rng["min"].to_numpy(), spans) + offs})
+        out = grid.merge(occ, on=[key_col, "__b"], how="left")
+        out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+        return out.rename(columns={"__b": "bucket"})
+
+    return (coalesce_for_exchange(
+                events_ds.map_batches(add_bucket, batch_format="pyarrow"),
+                P)
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

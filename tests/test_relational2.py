@@ -571,3 +571,20 @@ def test_table_diff_classes_and_split_invariance(ray_session):
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert dict(zip(got["k"], got["change"])) == {
             2: "changed", 3: "removed", 4: "removed", 5: "added"}
+
+
+def test_gapfill_zeros_and_ranges(ray_session):
+    from bionext_ray.ops.relational import gapfill_counts
+    base = np.datetime64("2001-01-01", "us")
+    day = np.timedelta64(86400, "s").astype("timedelta64[us]")
+    rows = [(1, 0), (1, 0), (1, 3),       # user 1: days 0..3, gap 1-2
+            (2, 5)]                       # user 2: single day
+    ds = _ds({"u": pa.array([r[0] for r in rows], pa.int64()),
+              "ts": pa.array([base + r[1] * day for r in rows])})
+    got = (gapfill_counts(ds, "u", "ts", width_s=86400)
+           .to_pandas().sort_values(["u", "bucket"]).reset_index(drop=True))
+    u1 = got[got["u"] == 1]
+    assert u1["n_events"].tolist() == [2, 0, 0, 1]
+    assert (u1["bucket"].diff().dropna() == 1).all()
+    u2 = got[got["u"] == 2]
+    assert u2["n_events"].tolist() == [1]
