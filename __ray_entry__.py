@@ -681,6 +681,22 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_customer_ranks(sf_dir: str):
+    """Global ROW_NUMBER + NTILE(7) over (acctbal cents, custkey) — dense
+    total-order ranks without a driver sort: sampled range cutpoints, one
+    bucketed exchange with local ranks, ≤P bucket sizes prefix-summed on
+    the driver and broadcast for the offset pass."""
+    from bionext_ray.ops.relational import global_row_number
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _cents(b, "c_acctbal", "cents")
+        return b.select(["c_custkey", "cents"])
+
+    return global_row_number(cust.map_batches(prep, batch_format="pyarrow"),
+                             "cents", "c_custkey", ntile=7)
+
+
 def q_events_gapfill(sf_dir: str):
     """Dense daily per-user event counts, gaps filled with explicit zeros
     between each user's first and last active day — the densification a
@@ -1746,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "profile_orders": q_profile_orders,
         "events_gapfill": q_events_gapfill,
+        "customer_ranks": q_customer_ranks,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2304,6 +2321,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "customer_ranks": """
+            SELECT c_custkey,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                                 c_custkey) AS BIGINT) AS rn,
+                   CAST(NTILE(7) OVER (
+                        ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                                 c_custkey) AS BIGINT) AS tile
+            FROM customer
         """,
         "events_gapfill": """
             WITH a AS (SELECT user_id,

@@ -1598,3 +1598,114 @@ def gapfill_counts(events_ds, key_col: str, ts_col: str, width_s: int,
                 P)
             .groupby("__bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def global_row_number(ds, order_col: str, id_col: str, keep: list[str]
+                      | None = None, ntile: int | None = None,
+                      sample_size: int = 4096,
+                      shuffle_partitions: int | None = None):
+    """Distributed ``ROW_NUMBER() OVER (ORDER BY order_col, id_col)`` —
+    a dense global 1-based rank over a TOTAL order (the zipWithIndex-by-
+    order primitive: global sort positions without a driver-side sort).
+    With ``ntile`` also emits the SQL ``NTILE(n)`` tile (equi-depth
+    binning over the whole table). Output: (id_col, keep..., rn[, tile]).
+    ``order_col`` and ``id_col`` must be ints (the tiebreak mirrors SQL).
+
+    Shape: driver samples ≤``sample_size`` (order, id) pairs for range
+    cutpoints (bounded, like any range partitioner); rows bucket by range
+    in ONE exchange; each bucket sorts locally and emits LOCAL ranks plus
+    its size. Bucket sizes (≤P ints) come back to the driver, prefix-sum
+    to offsets, broadcast once — a second metadata-only pass adds
+    offset[bucket] to each local rank. Exactly one data exchange; the
+    ranked intermediate is materialized once (it is the output's size)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    P = max(16, shuffle_partitions or 0)
+    keep = keep or []
+
+    head = (ds.select_columns([order_col, id_col])
+            .limit(sample_size).take_all())
+    if not head:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64())}))
+    comp = np.sort(np.array(
+        [(r[order_col], r[id_col]) for r in head],
+        dtype=[("v", np.int64), ("i", np.int64)]))
+    cut_idx = (np.arange(1, P) * len(comp)) // P
+    cuts = np.unique(comp[cut_idx])
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rec = np.empty(len(v), dtype=[("v", np.int64), ("i", np.int64)])
+        rec["v"], rec["i"] = v, i
+        bkt = np.searchsorted(cuts, rec, side="right")
+        cols = {order_col: b[order_col], id_col: b[id_col]}
+        for c in keep:
+            cols[c] = b[c]
+        t = pa.table(cols)
+        return t.append_column("__bucket",
+                               pa.array(bkt.astype(np.int64), pa.int64()))
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g["__bucket"].iloc[0])
+        g = (g.drop(columns="__bucket")
+             .sort_values([order_col, id_col], kind="mergesort")
+             .reset_index(drop=True))
+        g["__lr"] = np.arange(len(g), dtype=np.int64)
+        g["__bkt"] = bkt
+        return g
+
+    ranked = (coalesce_for_exchange(
+                  ds.map_batches(assign, batch_format="pyarrow"), P)
+              .groupby("__bucket")
+              .map_groups(local_rank, batch_format="pandas")
+              .materialize())
+
+    # bucket sizes -> prefix offsets (<= P ints on the driver)
+    sizes = {}
+    for t in ray.get(ranked.map_batches(
+            lambda b: pa.table({
+                "b": b["__bkt"],
+                "_c": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows:
+            for bk, n in zip(*np.unique(
+                    t["b"].to_numpy(zero_copy_only=False),
+                    return_counts=True)):
+                sizes[int(bk)] = sizes.get(int(bk), 0) + int(n)
+    order = sorted(sizes)
+    offsets = {}
+    acc = 0
+    for bk in order:
+        offsets[bk] = acc
+        acc += sizes[bk]
+    n_total = acc
+    off_ref = ray.put(offsets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        bk = b["__bkt"].to_numpy(zero_copy_only=False)
+        lr = b["__lr"].to_numpy(zero_copy_only=False)
+        rn = (np.array([offs[int(x)] for x in bk], np.int64) + lr + 1)
+        cols = {id_col: b[id_col]}
+        for c in keep:
+            cols[c] = b[c]
+        cols["rn"] = pa.array(rn, pa.int64())
+        if ntile:
+            # SQL NTILE distribution: first n_total % ntile tiles get the
+            # extra row
+            q, r = n_total // ntile, n_total % ntile
+            rn0 = rn - 1
+            big = rn0 < (q + 1) * r
+            tile = np.where(big, rn0 // max(q + 1, 1),
+                            (r + (rn0 - (q + 1) * r) // max(q, 1))
+                            if q > 0 else rn0)
+            cols["tile"] = pa.array((tile + 1).astype(np.int64),
+                                    pa.int64())
+        return pa.table(cols)
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

@@ -588,3 +588,27 @@ def test_gapfill_zeros_and_ranges(ray_session):
     assert (u1["bucket"].diff().dropna() == 1).all()
     u2 = got[got["u"] == 2]
     assert u2["n_events"].tolist() == [1]
+
+
+def test_global_row_number_matches_duckdb(ray_session):
+    """Dense ranks + NTILE vs DuckDB over random ints with ties, at
+    several parallelism levels (offsets must compose across buckets)."""
+    import duckdb
+    from bionext_ray.ops.relational import global_row_number
+    rng = np.random.default_rng(79)
+    n = 500
+    v = rng.integers(-40, 40, n)              # heavy ties
+    ids = rng.permutation(n)
+    df = pd.DataFrame({"i": ids, "v": v})
+    want = duckdb.query("""
+        SELECT i, CAST(ROW_NUMBER() OVER (ORDER BY v, i) AS BIGINT) rn,
+               CAST(NTILE(6) OVER (ORDER BY v, i) AS BIGINT) tile
+        FROM df ORDER BY i""").df()
+    for parts in (1, 5):
+        ds = _ds({"i": pa.array(ids, pa.int64()),
+                  "v": pa.array(v, pa.int64())}).repartition(parts)
+        got = (global_row_number(ds, "v", "i", ntile=6)
+               .to_pandas().sort_values("i").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["i", "rn", "tile"]].astype("int64"),
+            want.astype("int64"))
