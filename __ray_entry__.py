@@ -681,6 +681,34 @@ def q_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=3, shuffle_partitions=sp)
 
 
+def q_lineitem_melt(sf_dir: str):
+    """UNPIVOT / melt: lineitem's three integer measures re-shaped long
+    (one row per (line, measure)) — batch-local, zero exchanges."""
+    from bionext_ray.ops.relational import melt_batch
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_tax"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.rint(b["l_discount"].to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        t = np.rint(b["l_tax"].to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "qty": pa.array(q, pa.int64()),
+            "disc_pct": pa.array(d, pa.int64()),
+            "tax_pct": pa.array(t, pa.int64())})
+
+    return li.map_batches(prep, batch_format="pyarrow").map_batches(
+        lambda b: melt_batch(b, ["l_orderkey", "l_linenumber"],
+                             ["qty", "disc_pct", "tax_pct"],
+                             var_name="measure", value_name="val"),
+        batch_format="pyarrow")
+
+
 def q_customer_ranks(sf_dir: str):
     """Global ROW_NUMBER + NTILE(7) over (acctbal cents, custkey) — dense
     total-order ranks without a driver sort: sampled range cutpoints, one
@@ -1763,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": q_profile_orders,
         "events_gapfill": q_events_gapfill,
         "customer_ranks": q_customer_ranks,
+        "lineitem_melt": q_lineitem_melt,
         "customers_no_orders": q_customers_no_orders,
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
@@ -2321,6 +2350,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "lineitem_melt": """
+            SELECT l_orderkey, l_linenumber, 'qty' AS measure,
+                   CAST(l_quantity AS BIGINT) AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'disc_pct',
+                   CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax_pct',
+                   CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
         """,
         "customer_ranks": """
             SELECT c_custkey,

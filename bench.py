@@ -61,7 +61,7 @@ def _run_bench() -> dict:
         "events_quantiles_cont", "label_centroids", "typo_pairs",
         "events_funnel", "events_pivot", "cohort_retention",
         "concurrent_events", "orders_diff", "shipping_priority",
-        "profile_orders",
+        "profile_orders", "events_gapfill", "customer_ranks",
     ]
 
     per_query = {}

@@ -1709,3 +1709,23 @@ def global_row_number(ds, order_col: str, id_col: str, keep: list[str]
         return pa.table(cols)
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def melt_batch(batch: pa.Table, id_cols: list[str], value_cols: list[str],
+               var_name: str = "variable",
+               value_name: str = "value") -> pa.Table:
+    """UNPIVOT / melt (wide -> long), batch-local: every input row emits
+    one output row per value column, (id_cols..., variable, value). Value
+    columns must share a type (cast upstream). Zero exchanges — pure
+    column gather + concat per batch, composes with any downstream
+    grouped op."""
+    n = batch.num_rows
+    ids = {c: pa.concat_arrays(
+        [batch[c].combine_chunks()] * len(value_cols))
+        for c in id_cols}
+    var = pa.array(np.repeat(np.arange(len(value_cols)), n), pa.int64())
+    names = pa.array(value_cols, pa.string()).take(var)
+    vals = pa.concat_arrays(
+        [batch[c].combine_chunks().cast(batch[value_cols[0]].type)
+         for c in value_cols])
+    return pa.table({**ids, var_name: names, value_name: vals})
