@@ -1206,6 +1206,30 @@ def q_kg_pagerank(sf_dir: str):
                     iters=3)
 
 
+def q_kg_components(sf_dir: str):
+    """Weakly-connected components of the KG: canonical triples become
+    undirected (subj, obj) edges (same blake2b node hashing as
+    kg_pagerank) and the oracle-proven min-label propagation assigns a
+    cluster id per entity node. Rows-only (model-stage input); the CC
+    algorithm itself is SQL-gated by `neardup_clusters`."""
+    from bionext_ray.ops.dedup import connected_components
+    canon = _kg_stages(sf_dir)["canonical"]
+
+    def edges(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        def h(col):
+            return np.array(
+                [int.from_bytes(hashlib.blake2b(
+                    s.encode(), digest_size=8).digest(), "big") >> 1
+                 for s in col.to_pylist()], np.int64)
+        return pa.table({"id_a": pa.array(h(b["subj"]), pa.int64()),
+                         "id_b": pa.array(h(b["obj"]), pa.int64())})
+
+    return connected_components(
+        canon.map_batches(edges, batch_format="pyarrow"))
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (3 fixed iterations, damping 85/100, ranks scaled
     1e9) over a deterministic edge table derived from lineitem
@@ -1759,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "pagerank": q_pagerank,
         "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
         "degree_dist": q_degree_dist,
         "triangles": q_triangles,
         "custkeys_no_orders_setop": q_custkeys_no_orders_setop,
