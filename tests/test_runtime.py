@@ -104,3 +104,59 @@ def test_partitioned_resume(ray_session, tmp_path):
     r4 = run_kg_partitioned(files, root, n_partitions=2, concurrency=1,
                             batch_size=8)
     assert r4["computed"] == 1 and r4["resumed"] == 1
+
+
+def test_merge_graph_increment_equals_full_rebuild(ray_session, tmp_path):
+    """merge(materialize(A), B) must equal materialize(A ∪ B) exactly —
+    triples, supports, nodes, adjacency, manifest counts."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from bionext_ray.stages.canonicalize import (canonicalize_stage,
+                                                 materialize_graph,
+                                                 merge_graph_increment)
+
+    def triples(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "subj": pa.array([r[1] for r in rows], pa.string()),
+            "pred": pa.array([r[2] for r in rows], pa.string()),
+            "obj": pa.array([r[3] for r in rows], pa.string()),
+            "novel": pa.array([r[4] for r in rows], pa.bool_())}))
+
+    a = [("d1", "e1", "assoc", "e2", True), ("d2", "e1", "assoc", "e2", False),
+         ("d3", "e3", "bind", "e4", True)]
+    b = [("d4", "e1", "assoc", "e2", True),     # overlaps A: support sums
+         ("d5", "e5", "bind", "e6", False)]     # new triple
+
+    inc_dir = str(tmp_path / "incremental")
+    merge_graph_increment(canonicalize_stage(triples(a)), inc_dir)
+    merge_graph_increment(canonicalize_stage(triples(b)), inc_dir)
+
+    full_dir = str(tmp_path / "full")
+    materialize_graph(canonicalize_stage(triples(a + b)), full_dir)
+
+    def load(d, sub, part=None):
+        t = pds.dataset(f"{d}/{sub}", partitioning=part).to_table()
+        df = t.to_pandas()
+        cols = [c for c in df.columns if c != "bucket"]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    for sub, part in (("triples", "hive"), ("nodes", None),
+                      ("adjacency", None)):
+        got = load(inc_dir, sub, part)
+        want = load(full_dir, sub, part)
+        assert got.equals(want), sub
+
+    m_inc = json.load(open(f"{inc_dir}/_GRAPH_MANIFEST.json"))
+    m_full = json.load(open(f"{full_dir}/_GRAPH_MANIFEST.json"))
+    for k in ("triples_rows", "nodes_rows", "adjacency_rows"):
+        assert m_inc[k] == m_full[k]
+    # support summed across waves for the overlapping triple
+    tri = load(inc_dir, "triples", "hive")
+    row = tri[(tri["subj"] == "e1") & (tri["obj"] == "e2")]
+    assert row["support"].tolist() == [3]
+    assert row["novel_docs"].tolist() == [2]
