@@ -102,6 +102,22 @@ def bloom_semi_join(big_ds, right_ds, on, big_cols: list[str],
     from .relational import actor_pool_size
 
     bkey, rkey = on if isinstance(on, tuple) else (on, on)
+
+    # hash_array is dtype-SENSITIVE (int32 -5 and int64 -5 hash
+    # differently), and a Bloom false negative silently DROPS a true
+    # match — so the right key is cast to the big side's key type before
+    # any hashing (the same reconciliation semi_join_filter/shuffle_join
+    # do), which also makes the tagged union's schemas agree.
+    bk_type = dict(zip(big_ds.schema().names,
+                       big_ds.schema().types))[bkey]
+
+    def cast_rkey(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        idx = b.column_names.index(rkey)
+        return b.set_column(idx, rkey, pc.cast(b[rkey], bk_type))
+
+    right_ds = right_ds.select_columns([rkey]).map_batches(
+        cast_rkey, batch_format="pyarrow")
     bloom = build_bloom(right_ds, rkey, m_bits=m_bits, n_hashes=n_hashes)
     bloom_ref = ray.put(bloom)
 

@@ -810,11 +810,15 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str, window: int,
         return np.array([f"{k}\x00{i:0{width}d}" for k, i in
                          zip(keys, ids)], dtype=object)
 
-    # driver-side cutpoints from a bounded sample (the range-partitioner
-    # pattern; <= sample_size rows regardless of input size — a biased
-    # sample only unbalances buckets, never correctness)
-    head = (ds.select_columns([key_col, id_col])
-            .limit(sample_size).take_all())
+    # driver-side cutpoints from per-batch evenly spaced rows (the
+    # range-partitioner pattern; every block contributes, so key-ordered
+    # input cannot collapse into one bucket — a biased sample only ever
+    # unbalances buckets, never correctness)
+    from .relational import range_sample
+    head = range_sample(ds, [key_col, id_col])
+    if len(head) > sample_size:
+        step = (np.arange(sample_size) * len(head)) // sample_size
+        head = [head[i] for i in step]
     if not head:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),

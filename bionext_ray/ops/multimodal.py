@@ -390,32 +390,71 @@ def image_neardup_pairs(ds, max_hamming: int = 6, grid: int = 8,
 
     from bionext_ray.ops.relational import actor_pool_size
 
-    hashed = ds.map_batches(AHashStage,
+    P = max(16, shuffle_partitions or 0)
+
+    class Stage(AHashStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = super().__call__(batch)
+            # exchange key: hash_bucket folded to ~P groups (the repo's
+            # anti-singleton-group rule — 2^bucket_bits sorted groups is
+            # the measured slow path); the TRUE bucket rides along and
+            # the in-group pandas groupby restores it
+            hb = t["hash_bucket"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__bucket", pa.array(np.abs(hb) % P, pa.int64()))
+
+    hashed = ds.map_batches(Stage,
                             fn_constructor_kwargs={
                                 "grid": grid, "bucket_bits": bucket_bits},
                             batch_format="pyarrow",
                             concurrency=actor_pool_size())
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        h = g["ahash"].to_numpy(np.int64).astype(np.uint64)
-        ids = g["doc_id"].to_numpy(np.int64)
+    _LUT = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
+    def _scan(h, ids):
+        """Exact Hamming pair scan, memory-bounded: row-chunks against the
+        tail keep the candidate XOR matrix <= ~4M entries regardless of a
+        hot bucket's size (O(n^2) compute is the exact-verify contract;
+        O(n^2) MEMORY in one task is not)."""
         n = len(h)
-        if n < 2:
+        out_a, out_b, out_d = [], [], []
+        chunk = max(1, (1 << 22) // max(n, 1))
+        for i0 in range(0, n - 1, chunk):
+            hi = h[i0:i0 + chunk]
+            x = hi[:, None] ^ h[None, i0 + 1:]       # chunk x tail
+            ham = np.zeros(x.shape, np.int64)
+            for k in range(8):
+                ham += _LUT[np.bitwise_and(
+                    x >> np.uint64(8 * k),
+                    np.uint64(0xFF)).astype(np.int64)]
+            ii, jj = np.nonzero(ham <= max_hamming)
+            gi = ii + i0
+            gj = jj + i0 + 1
+            keep = gj > gi                           # upper triangle only
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[gj[keep]])
+            out_d.append(ham[ii[keep], jj[keep]])
+        if not out_a:
+            return (np.array([], np.int64),) * 3
+        return (np.concatenate(out_a), np.concatenate(out_b),
+                np.concatenate(out_d))
+
+    def exchange_group(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby("hash_bucket", sort=False):
+            grp = grp.sort_values("doc_id")
+            if len(grp) < 2:
+                continue
+            a, b, d = _scan(
+                grp["ahash"].to_numpy(np.int64).astype(np.uint64),
+                grp["doc_id"].to_numpy(np.int64))
+            frames.append(pd.DataFrame(
+                {"id_a": a, "id_b": b, "hamming": d}))
+        if not frames:
             return pd.DataFrame({"id_a": pd.array([], dtype=np.int64),
                                  "id_b": pd.array([], dtype=np.int64),
                                  "hamming": pd.array([], dtype=np.int64)})
-        iu, ju = np.triu_indices(n, k=1)
-        x = h[iu] ^ h[ju]
-        # vectorized byte-wise popcount via a 256-entry lookup
-        lut = np.array([bin(i).count("1") for i in range(256)], np.int64)
-        ham = np.zeros(len(x), np.int64)
-        for k in range(8):
-            ham += lut[np.bitwise_and(x >> np.uint64(8 * k),
-                                      np.uint64(0xFF)).astype(np.int64)]
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                             "hamming": ham[keep]})
+        return pd.concat(frames, ignore_index=True)
 
-    return (hashed.groupby("hash_bucket")
-            .map_groups(bucket_pairs, batch_format="pandas"))
+    return (hashed.groupby("__bucket")
+            .map_groups(exchange_group, batch_format="pandas"))

@@ -34,12 +34,16 @@ def profile_table(ds, cols: list[str],
     # ---- pass A: scalar partials (n, nulls, min, max) per batch ----
     def scalars(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        names, ns, nulls, mins, maxs = [], [], [], [], []
+        names, ns, nulls, mins, maxs, isint = [], [], [], [], [], []
         for c in cols:
             arr = b[c]
             names.append(c)
             ns.append(b.num_rows)
             nulls.append(arr.null_count)
+            # carry the ARROW type alongside: a digit-string column
+            # ("9" < "10" lexicographically) must NOT be re-ordered
+            # numerically just because its partials parse as ints
+            isint.append(pa.types.is_integer(arr.type))
             if b.num_rows - arr.null_count > 0:
                 mins.append(str(pc.min(arr).as_py()))
                 maxs.append(str(pc.max(arr).as_py()))
@@ -51,30 +55,34 @@ def profile_table(ds, cols: list[str],
             "n": pa.array(ns, pa.int64()),
             "n_null": pa.array(nulls, pa.int64()),
             "min_s": pa.array(mins, pa.string()),
-            "max_s": pa.array(maxs, pa.string())})
+            "max_s": pa.array(maxs, pa.string()),
+            "is_int": pa.array(isint, pa.bool_())})
 
     parts = ray.get(ds.map_batches(
         scalars, batch_format="pyarrow").to_arrow_refs())
     pdf = pa.concat_tables([t for t in parts if t.num_rows]).to_pandas()
 
-    def _native(series, col_min=True):
+    int_cols = set(pdf[pdf["is_int"]]["column"])
+
+    def _native(col, series, col_min=True):
         vals = series.dropna()
         if not len(vals):
             return ""
-        # ints compare numerically, strings lexicographically — recover
-        # the NATIVE order by casting when every partial parses as int
-        try:
+        if col in int_cols:            # numeric order, from the Arrow type
             nums = vals.astype(np.int64)
             return str(nums.min() if col_min else nums.max())
-        except (ValueError, TypeError):
-            return vals.min() if col_min else vals.max()
+        return vals.min() if col_min else vals.max()
 
     g = pdf.groupby("column", sort=False)
     agg = pd.DataFrame({
         "n_rows": g["n"].sum(),
         "n_null": g["n_null"].sum(),
-        "min_val": g["min_s"].apply(lambda s: _native(s, True)),
-        "max_val": g["max_s"].apply(lambda s: _native(s, False)),
+        "min_val": g["min_s"].apply(
+            lambda s: _native(s.name if hasattr(s, "name") else "", s,
+                              True)),
+        "max_val": g["max_s"].apply(
+            lambda s: _native(s.name if hasattr(s, "name") else "", s,
+                              False)),
     }).reset_index()
 
     # ---- pass B: exact distincts, one column-tagged exchange ----

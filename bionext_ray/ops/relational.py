@@ -839,6 +839,19 @@ def running_agg(ds, key_col: str, order_cols: list[str], val_col: str,
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def _ntile_from_rn0(rn0, n_rows, k):
+    """SQL NTILE tile ids (1-based) from 0-based ranks: the first
+    n_rows % k tiles get the extra row. Vectorized; n_rows may be an
+    array (per-key) or a scalar (global)."""
+    q, r = n_rows // k, n_rows % k
+    big = rn0 < (q + 1) * r
+    tile = np.where(big, rn0 // np.maximum(q + 1, 1),
+                    np.where(q > 0,
+                             r + (rn0 - (q + 1) * r) // np.maximum(q, 1),
+                             rn0))
+    return (tile + 1).astype(np.int64)
+
+
 def window_funcs(ds, key_col: str, order_cols: list[str],
                  specs: list[tuple[str, str, int, str]],
                  fill=None, shuffle_partitions: int | None = None):
@@ -906,13 +919,7 @@ def window_funcs(ds, key_col: str, order_cols: list[str],
             elif fun == "ntile":
                 rn = gb.cumcount().to_numpy()           # 0-based in order
                 n_rows = gb[key_col].transform("size").to_numpy()
-                q, r = n_rows // param, n_rows % param
-                big = rn < (q + 1) * r                  # oversize tiles
-                tile = np.where(
-                    big, rn // np.maximum(q + 1, 1),
-                    np.where(q > 0, r + (rn - (q + 1) * r) //
-                             np.maximum(q, 1), rn))
-                g[alias] = (tile + 1).astype(np.int64)
+                g[alias] = _ntile_from_rn0(rn, n_rows, param)
             else:
                 raise ValueError(f"unknown window function {fun!r}")
         return g
@@ -1531,7 +1538,10 @@ def table_diff(old_ds, new_ds, key_cols: list[str], val_cols: list[str],
         if val_cols:
             same = np.ones(len(m), bool)
             for v in val_cols:
-                same &= (m[f"{v}_o"] == m[f"{v}_n"]).to_numpy()
+                o, n = m[f"{v}_o"], m[f"{v}_n"]
+                # NULL == NULL counts as unchanged (SQL's o.v <> n.v
+                # excludes the row; pandas NaN == NaN would flag it)
+                same &= ((o == n) | (o.isna() & n.isna())).to_numpy()
             changed = changed.to_numpy() & ~same
         else:
             changed = np.zeros(len(m), bool)
@@ -1600,6 +1610,32 @@ def gapfill_counts(events_ds, key_col: str, ts_col: str, width_s: int,
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def range_sample(ds, cols: list[str], per_batch: int = 8) -> list[dict]:
+    """Bounded whole-input sample for range-partitioner cutpoints: every
+    BATCH contributes up to ``per_batch`` evenly spaced rows, so sorted or
+    time-ordered inputs cannot bias the cutpoints toward the head (a
+    ``limit(n)`` head sample would send ~all rows of an order-correlated
+    input to the last range bucket — the exact skew a range partitioner
+    exists to avoid). Driver cost is O(per_batch × batches) tiny rows —
+    the same bounded-partials contract as the repo's other driver merges.
+    Bucket BALANCE still tracks sample quality; correctness never depends
+    on it."""
+    import ray
+
+    def spaced(b: pa.Table) -> pa.Table:
+        k = min(per_batch, b.num_rows)
+        if k == 0:
+            return b.select(cols)
+        idx = (np.arange(k) * b.num_rows) // k
+        return b.select(cols).take(pa.array(idx, pa.int64()))
+
+    out = []
+    for t in ray.get(ds.select_columns(cols).map_batches(
+            spaced, batch_format="pyarrow").to_arrow_refs()):
+        out.extend(t.to_pylist())
+    return out
+
+
 def global_row_number(ds, order_col: str, id_col: str, keep: list[str]
                       | None = None, ntile: int | None = None,
                       sample_size: int = 4096,
@@ -1611,8 +1647,10 @@ def global_row_number(ds, order_col: str, id_col: str, keep: list[str]
     binning over the whole table). Output: (id_col, keep..., rn[, tile]).
     ``order_col`` and ``id_col`` must be ints (the tiebreak mirrors SQL).
 
-    Shape: driver samples ≤``sample_size`` (order, id) pairs for range
-    cutpoints (bounded, like any range partitioner); rows bucket by range
+    Shape: driver gathers per-batch evenly SPACED (order, id) pairs for
+    range cutpoints (``range_sample`` — a head sample would collapse
+    order-correlated input into one bucket), thinned to ``sample_size``;
+    rows bucket by range
     in ONE exchange; each bucket sorts locally and emits LOCAL ranks plus
     its size. Bucket sizes (≤P ints) come back to the driver, prefix-sum
     to offsets, broadcast once — a second metadata-only pass adds
@@ -1625,12 +1663,14 @@ def global_row_number(ds, order_col: str, id_col: str, keep: list[str]
     P = max(16, shuffle_partitions or 0)
     keep = keep or []
 
-    head = (ds.select_columns([order_col, id_col])
-            .limit(sample_size).take_all())
+    head = range_sample(ds, [order_col, id_col])
     if not head:
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),
             "rn": pa.array([], pa.int64())}))
+    if len(head) > sample_size:
+        step = (np.arange(sample_size) * len(head)) // sample_size
+        head = [head[i] for i in step]
     comp = np.sort(np.array(
         [(r[order_col], r[id_col]) for r in head],
         dtype=[("v", np.int64), ("i", np.int64)]))
@@ -1668,9 +1708,7 @@ def global_row_number(ds, order_col: str, id_col: str, keep: list[str]
     # bucket sizes -> prefix offsets (<= P ints on the driver)
     sizes = {}
     for t in ray.get(ranked.map_batches(
-            lambda b: pa.table({
-                "b": b["__bkt"],
-                "_c": pa.array(np.ones(b.num_rows, np.int64))}),
+            lambda b: pa.table({"b": b["__bkt"]}),
             batch_format="pyarrow").to_arrow_refs()):
         if t.num_rows:
             for bk, n in zip(*np.unique(
@@ -1696,16 +1734,8 @@ def global_row_number(ds, order_col: str, id_col: str, keep: list[str]
             cols[c] = b[c]
         cols["rn"] = pa.array(rn, pa.int64())
         if ntile:
-            # SQL NTILE distribution: first n_total % ntile tiles get the
-            # extra row
-            q, r = n_total // ntile, n_total % ntile
-            rn0 = rn - 1
-            big = rn0 < (q + 1) * r
-            tile = np.where(big, rn0 // max(q + 1, 1),
-                            (r + (rn0 - (q + 1) * r) // max(q, 1))
-                            if q > 0 else rn0)
-            cols["tile"] = pa.array((tile + 1).astype(np.int64),
-                                    pa.int64())
+            cols["tile"] = pa.array(
+                _ntile_from_rn0(rn - 1, n_total, ntile), pa.int64())
         return pa.table(cols)
 
     return ranked.map_batches(finish, batch_format="pyarrow")

@@ -228,7 +228,10 @@ def grouped_centroids(embeddings_ds, key_col: str, vec_col: str,
         dim = micro.shape[1] if micro.size else 0
         k_rep = np.repeat(sums.index.to_numpy(), dim)
         return pa.table({
-            key_col: pa.array(k_rep.astype(np.int64), pa.int64()),
+            # type-preserving key (string language/label keys included —
+            # an int64 cast here crashed on the docstring's own use case)
+            key_col: pa.array(k_rep.tolist(),
+                              type=batch.schema.field(key_col).type),
             "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
                                     len(sums)), pa.int64()),
             "s": pa.array(sums.to_numpy().reshape(-1), pa.int64()),

@@ -142,8 +142,36 @@ def materialize_graph(canonical_ds, out_dir: str, n_buckets: int = 16):
     return manifest
 
 
+def _finish_swap(out_dir: str, staging: str) -> dict:
+    """Complete a (possibly interrupted) staging→live swap. Idempotent:
+    a sub-table already moved on a previous attempt (missing in staging,
+    present live) is skipped; the live manifest moves LAST, so its
+    presence marks the swap complete."""
+    import json
+    import os
+    import shutil
+
+    for sub in ("triples", "nodes", "adjacency"):
+        src, dst = os.path.join(staging, sub), os.path.join(out_dir, sub)
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+        elif not os.path.isdir(dst):
+            raise RuntimeError(
+                f"merge swap cannot recover: {sub} missing from both "
+                f"staging ({src}) and live ({dst})")
+    man_src = os.path.join(staging, "_GRAPH_MANIFEST.json")
+    man_dst = os.path.join(out_dir, "_GRAPH_MANIFEST.json")
+    if os.path.isfile(man_src):
+        os.replace(man_src, man_dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    with open(man_dst) as f:
+        return json.load(f)
+
+
 def merge_graph_increment(new_canonical_ds, out_dir: str,
-                          n_buckets: int = 16):
+                          n_buckets: int = 16,
+                          wave_id: str | None = None):
     """Incremental KG update: fold a NEW batch's canonical triples into an
     already-materialized graph under ``out_dir`` — the production shape
     where a crawl arrives in waves and the graph must grow without
@@ -153,16 +181,35 @@ def merge_graph_increment(new_canonical_ds, out_dir: str,
     materialize(A ∪ B) by construction — pinned by the runtime test.
     First call on an empty ``out_dir`` degrades to a plain materialize.
 
-    Crash safety: the merged graph is materialized into a STAGING dir on
-    disk first, then swapped in (delete old, move staged). A crash before
-    the swap leaves the old graph intact (the stale staging dir is
-    replaced on retry); a crash mid-swap leaves the complete staged graph
-    on disk for the retry to finish — the old tables are never the only
-    copy while being deleted."""
+    Crash safety + at-least-once retries: the merged graph materializes
+    into a STAGING dir whose own manifest (written last by
+    materialize_graph) marks it complete; the live swap happens only
+    after. On entry, a COMPLETE staging left by a crashed attempt is
+    swapped in FIRST (idempotent — already-moved sub-tables are skipped),
+    an incomplete one is discarded; the old graph is never the only copy
+    while being deleted. Pass a ``wave_id`` to make whole-merge retries
+    exactly-once: the manifest records it, and a merge whose wave_id
+    matches the live manifest's is a no-op (the increment was already
+    folded — re-unioning it would double-count supports)."""
+    import json
     import os
     import shutil
 
     import ray.data
+
+    staging = os.path.join(out_dir, ".merge_staging")
+    man_live = os.path.join(out_dir, "_GRAPH_MANIFEST.json")
+    # recover a crashed attempt before reading ANY live state
+    if os.path.isfile(os.path.join(staging, "_GRAPH_MANIFEST.json")):
+        _finish_swap(out_dir, staging)     # complete staging: finish it
+    else:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    if wave_id is not None and os.path.isfile(man_live):
+        with open(man_live) as f:
+            live = json.load(f)
+        if live.get("wave_id") == wave_id:
+            return live                    # increment already folded
 
     tri_dir = os.path.join(out_dir, "triples")
     merged = new_canonical_ds
@@ -176,15 +223,12 @@ def merge_graph_increment(new_canonical_ds, out_dir: str,
         Sum("novel_docs", alias_name="novel_docs"),
     )
 
-    staging = os.path.join(out_dir, ".merge_staging")
-    shutil.rmtree(staging, ignore_errors=True)
-    manifest = materialize_graph(canon, staging, n_buckets=n_buckets)
-
-    for sub in ("triples", "nodes", "adjacency"):
-        dst = os.path.join(out_dir, sub)
-        shutil.rmtree(dst, ignore_errors=True)
-        os.replace(os.path.join(staging, sub), dst)
-    os.replace(os.path.join(staging, "_GRAPH_MANIFEST.json"),
-               os.path.join(out_dir, "_GRAPH_MANIFEST.json"))
-    shutil.rmtree(staging, ignore_errors=True)
-    return manifest
+    materialize_graph(canon, staging, n_buckets=n_buckets)
+    if wave_id is not None:
+        man_stage = os.path.join(staging, "_GRAPH_MANIFEST.json")
+        with open(man_stage) as f:
+            m = json.load(f)
+        m["wave_id"] = wave_id
+        with open(man_stage, "w") as f:
+            json.dump(m, f, indent=2)
+    return _finish_swap(out_dir, staging)

@@ -173,3 +173,30 @@ def test_profile_table_nulls_and_types(ray_session):
     assert got.loc["s", "n_null"] == 2
     assert got.loc["s", "n_distinct"] == 3
     assert got.loc["s", "min_val"] == "a" and got.loc["s", "max_val"] == "zz"
+
+
+def test_bloom_semi_join_mixed_key_dtypes(ray_session):
+    """int32 right keys (incl. negative values) against an int64 big side
+    must not produce Bloom false negatives — keys are dtype-reconciled
+    before hashing."""
+    from bionext_ray.ops.bloom import bloom_semi_join
+    big = _ds({"k": pa.array([-5, -5, 3, 7, -2], pa.int64()),
+               "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    right = _ds({"rk": pa.array([-5, -2, 99], pa.int32())})
+    out = bloom_semi_join(big, right, ("k", "rk"), ["v"]).to_pandas()
+    assert sorted(zip(out["k"], out["v"])) == [(-5, 1), (-5, 2), (-2, 5)]
+
+
+def test_profile_table_digit_strings_keep_lexicographic_order(ray_session):
+    """A VARCHAR column of digit strings must keep SQL's lexicographic
+    MIN/MAX ('10' < '9'), while a true int column orders numerically."""
+    from bionext_ray.ops.profile import profile_table
+    t = pa.table({
+        "s": pa.array(["9", "10", "0012"], pa.string()),
+        "i": pa.array([9, 10, 12], pa.int64())})
+    got = (profile_table(ray.data.from_arrow(t).repartition(2), ["s", "i"])
+           .to_pandas().set_index("column"))
+    assert got.loc["s", "min_val"] == "0012"
+    assert got.loc["s", "max_val"] == "9"
+    assert got.loc["i", "min_val"] == "9"
+    assert got.loc["i", "max_val"] == "12"

@@ -612,3 +612,28 @@ def test_global_row_number_matches_duckdb(ray_session):
         pd.testing.assert_frame_equal(
             got[["i", "rn", "tile"]].astype("int64"),
             want.astype("int64"))
+
+
+def test_table_diff_null_values_unchanged(ray_session):
+    """A key whose value is NULL in BOTH snapshots is unchanged (SQL
+    semantics), not 'changed' (NaN != NaN)."""
+    from bionext_ray.ops.relational import table_diff
+    old = _ds({"k": pa.array([1, 2], pa.int64()),
+               "v": pa.array([None, 5], pa.int64())})
+    new = _ds({"k": pa.array([1, 2], pa.int64()),
+               "v": pa.array([None, 6], pa.int64())})
+    got = table_diff(old, new, ["k"], ["v"]).to_pandas()
+    assert dict(zip(got["k"], got["change"])) == {2: "changed"}
+
+
+def test_grouped_centroids_string_keys(ray_session):
+    """Per-language prototypes: string group keys must work."""
+    from bionext_ray.ops.simsearch import grouped_centroids
+    t = pa.table({
+        "lang": pa.array(["en", "de", "en"], pa.string()),
+        "embedding": pa.array([[1.0, 2.0], [3.0, 4.0], [3.0, 6.0]])})
+    got = (grouped_centroids(ray.data.from_arrow(t), "lang", "embedding")
+           .to_pandas().sort_values(["lang", "dim"]).reset_index(drop=True))
+    assert got["lang"].tolist() == ["de", "de", "en", "en"]
+    assert got["centroid_micro"].tolist() == [
+        3_000_000, 4_000_000, 2_000_000, 4_000_000]

@@ -160,3 +160,57 @@ def test_merge_graph_increment_equals_full_rebuild(ray_session, tmp_path):
     row = tri[(tri["subj"] == "e1") & (tri["obj"] == "e2")]
     assert row["support"].tolist() == [3]
     assert row["novel_docs"].tolist() == [2]
+
+
+def test_merge_graph_increment_crash_recovery(ray_session, tmp_path):
+    """Mid-swap crash simulation: with a COMPLETE staging dir and the live
+    triples already swapped (or deleted), a retry must finish the swap —
+    never re-merge (double count) or lose the staged graph. With wave_id,
+    a whole-merge retry after success is a no-op."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from bionext_ray.stages.canonicalize import (canonicalize_stage,
+                                                 merge_graph_increment)
+
+    def triples(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "subj": pa.array([r[1] for r in rows], pa.string()),
+            "pred": pa.array([r[2] for r in rows], pa.string()),
+            "obj": pa.array([r[3] for r in rows], pa.string()),
+            "novel": pa.array([r[4] for r in rows], pa.bool_())}))
+
+    a = [("d1", "e1", "assoc", "e2", True)]
+    b = [("d2", "e1", "assoc", "e2", False)]
+    out = str(tmp_path / "g")
+    merge_graph_increment(canonicalize_stage(triples(a)), out, wave_id="w1")
+    merge_graph_increment(canonicalize_stage(triples(b)), out, wave_id="w2")
+
+    def support():
+        t = pds.dataset(f"{out}/triples", partitioning="hive").to_table()
+        return t.to_pandas()["support"].sum()
+
+    assert support() == 2
+
+    # (1) whole-merge retry with the SAME wave_id: no double count
+    merge_graph_increment(canonicalize_stage(triples(b)), out, wave_id="w2")
+    assert support() == 2
+
+    # (2) mid-swap crash: complete staging exists, live triples deleted
+    staging = os.path.join(out, ".merge_staging")
+    shutil.copytree(out, staging,
+                    ignore=shutil.ignore_patterns(".merge_staging"))
+    shutil.rmtree(os.path.join(out, "triples"))
+    os.remove(os.path.join(out, "_GRAPH_MANIFEST.json"))
+    # retry of wave w2: must FIRST finish the swap (restoring triples),
+    # then see wave_id == w2 and no-op
+    m = merge_graph_increment(canonicalize_stage(triples(b)), out,
+                              wave_id="w2")
+    assert support() == 2 and m["wave_id"] == "w2"
+    assert not os.path.isdir(staging)
