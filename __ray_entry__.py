@@ -1751,57 +1751,21 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's CORRECTNESS sweep records roughly the
+    # first 50 entries.  Lead with the 5 flagship kg_* stages, then every
+    # query that has never (or not recently) received a driver row —
+    # the 21 r3-new operators plus the 18 r02-green veterans absent from
+    # CORRECTNESS_r03.json — then 6 rotation slots for queries touched
+    # this round (fingerprint rewrite, triangles optimization, ...).
+    # Long-green r03 veterans sit at the tail and rotate forward in
+    # future rounds.
     return {
         "kg_extract_text": q_kg_extract_text,
         "kg_mentions": q_kg_mentions,
         "kg_linked_mentions": q_kg_linked_mentions,
         "kg_triples": q_kg_triples,
         "kg_canonical_triples": q_kg_canonical_triples,
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_token_count,
-        "lang_id": q_lang_id,
-        "lang_id_ngram": q_lang_id_ngram,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
-        "sample_documents": q_sample_documents,
-        "training_mix": q_training_mix,
-        "inverted_index": q_inverted_index,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "domain_stats": q_domain_stats,
-        "term_counts": q_term_counts,
-        "ner_prf": q_ner_prf,
-        "dedup_exact": q_dedup_exact,
-        "train_example_dedup": q_train_example_dedup,
-        "minhash_candidates": q_minhash_candidates,
-        "simhash": q_simhash,
-        "simsearch_topk": q_simsearch_topk,
-        "simsearch_lsh": q_simsearch_lsh,
-        "simsearch_ivf": q_simsearch_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_pairs_exact": q_embedding_pairs_exact,
-        "neardup_verified": q_neardup_verified,
-        "pricing_summary": q_pricing_summary,
-        "pagerank": q_pagerank,
-        "kg_pagerank": q_kg_pagerank,
-        "kg_components": q_kg_components,
-        "degree_dist": q_degree_dist,
-        "triangles": q_triangles,
-        "custkeys_no_orders_setop": q_custkeys_no_orders_setop,
-        "nations_both_sides": q_nations_both_sides,
-        "orders_rollup": q_orders_rollup,
-        "orders_cube": q_orders_cube,
-        "pack_chunks": q_pack_chunks,
-        "pack_bins": q_pack_bins,
-        "priority_revenue": q_priority_revenue,
-        "events_user_join": q_events_user_join,
-        "events_bloom_semi": q_events_bloom_semi,
-        "bfs_hops": q_bfs_hops,
-        "heavy_users": q_heavy_users,
-        "events_window_frames": q_events_window_frames,
-        "adjacency": q_adjacency,
-        "term_cooccurrence": q_term_cooccurrence,
-        "events_mode_type": q_events_mode_type,
-        "events_quantiles_cont": q_events_quantiles_cont,
+        # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
         "label_centroids": q_label_centroids,
@@ -1821,6 +1785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": q_events_running_total,
         "events_hopping": q_events_hopping,
         "pii_redact": q_pii_redact,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "top_tokens": q_top_tokens,
+        # -- r02-green veterans absent from CORRECTNESS_r03 --
         "top_customers": q_top_customers,
         "orders_by_nation": q_orders_by_nation,
         "events_hourly": q_events_hourly,
@@ -1834,13 +1801,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "tfidf_top_terms": q_tfidf_top_terms,
         "distinct_users_kmv": q_distinct_users_kmv,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "top_tokens": q_top_tokens,
         "events_quantiles": q_events_quantiles,
         "stratified_sample": q_stratified_sample,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        # -- rotation slots: r03-green but touched this round --
+        "fingerprint": q_fingerprint,
+        "triangles": q_triangles,
+        "simhash": q_simhash,
+        "simsearch_topk": q_simsearch_topk,
+        "pagerank": q_pagerank,
+        "dedup_exact": q_dedup_exact,
+        # -- long-green r03 veterans (outside the driver window) --
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
+        "quality": q_quality,
+        "sample_documents": q_sample_documents,
+        "training_mix": q_training_mix,
+        "inverted_index": q_inverted_index,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "domain_stats": q_domain_stats,
+        "term_counts": q_term_counts,
+        "ner_prf": q_ner_prf,
+        "train_example_dedup": q_train_example_dedup,
+        "minhash_candidates": q_minhash_candidates,
+        "simsearch_lsh": q_simsearch_lsh,
+        "simsearch_ivf": q_simsearch_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
+        "neardup_verified": q_neardup_verified,
+        "pricing_summary": q_pricing_summary,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
+        "degree_dist": q_degree_dist,
+        "custkeys_no_orders_setop": q_custkeys_no_orders_setop,
+        "nations_both_sides": q_nations_both_sides,
+        "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
+        "pack_chunks": q_pack_chunks,
+        "pack_bins": q_pack_bins,
+        "priority_revenue": q_priority_revenue,
+        "events_user_join": q_events_user_join,
+        "events_bloom_semi": q_events_bloom_semi,
+        "bfs_hops": q_bfs_hops,
+        "heavy_users": q_heavy_users,
+        "events_window_frames": q_events_window_frames,
+        "adjacency": q_adjacency,
+        "term_cooccurrence": q_term_cooccurrence,
+        "events_mode_type": q_events_mode_type,
+        "events_quantiles_cont": q_events_quantiles_cont,
     }
 
 
