@@ -73,17 +73,21 @@ def profile_table(ds, cols: list[str],
             return str(nums.min() if col_min else nums.max())
         return vals.min() if col_min else vals.max()
 
-    g = pdf.groupby("column", sort=False)
-    agg = pd.DataFrame({
-        "n_rows": g["n"].sum(),
-        "n_null": g["n_null"].sum(),
-        "min_val": g["min_s"].apply(
-            lambda s: _native(s.name if hasattr(s, "name") else "", s,
-                              True)),
-        "max_val": g["max_s"].apply(
-            lambda s: _native(s.name if hasattr(s, "name") else "", s,
-                              False)),
-    }).reset_index()
+    # explicit group iteration: SeriesGroupBy.apply setting s.name to the
+    # group key is a pandas implementation detail; if it ever carried the
+    # series name instead, int columns would silently fall back to
+    # lexicographic min/max ('10' < '9'). The partial table is tiny
+    # (#cols x #blocks rows), so a driver loop is fine.
+    rows = []
+    for col, grp in pdf.groupby("column", sort=False):
+        rows.append({
+            "column": col,
+            "n_rows": grp["n"].sum(),
+            "n_null": grp["n_null"].sum(),
+            "min_val": _native(col, grp["min_s"], True),
+            "max_val": _native(col, grp["max_s"], False),
+        })
+    agg = pd.DataFrame(rows)
 
     # ---- pass B: exact distincts, one column-tagged exchange ----
     def uniq(b: pa.Table) -> pa.Table:

@@ -1010,13 +1010,16 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
                                     shuffle_partitions=shuffle_partitions)
             cur = cur.materialize()
         else:
-            # grand total: single global aggregate over the level-1 rows
+            # grand total: single global aggregate over the level-1 rows.
+            # Column types come from the level-1 schema (min/max of a
+            # string or float measure must not be cast to int64).
             from ray.data.aggregate import Max, Min, Sum
             aggs = {"sum": Sum, "min": Min, "max": Max}
+            sch = dict(zip(cur.schema().names, cur.schema().types))
             row = cur.aggregate(*[aggs[f](a, alias_name=a)
                                   for _, f, a in respec]) or {}
             cur = ray.data.from_arrow(pa.table(
-                {a: pa.array([row.get(a)], pa.int64())
+                {a: pa.array([row.get(a)], sch[a])
                  for _, _, a in respec}))
         levels.append(cur.map_batches(pad(tuple(prefix)),
                                       batch_format="pyarrow"))
@@ -1067,10 +1070,12 @@ def cube_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
             else:
                 from ray.data.aggregate import Max, Min, Sum
                 aggs = {"sum": Sum, "min": Min, "max": Max}
+                sch = dict(zip(deepest.schema().names,
+                               deepest.schema().types))
                 row = deepest.aggregate(*[aggs[f](a, alias_name=a)
                                           for _, f, a in respec]) or {}
                 lv = ray.data.from_arrow(pa.table(
-                    {a: pa.array([row.get(a)], pa.int64())
+                    {a: pa.array([row.get(a)], sch[a])
                      for _, _, a in respec}))
             levels.append(lv.map_batches(pad(subset),
                                          batch_format="pyarrow"))
@@ -1665,9 +1670,17 @@ def global_row_number(ds, order_col: str, id_col: str, keep: list[str]
 
     head = range_sample(ds, [order_col, id_col])
     if not head:
-        return ray.data.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "rn": pa.array([], pa.int64())}))
+        # full output schema even when empty: id_col + keep + rn (+ tile),
+        # keep-column types taken from the input schema
+        sch = ds.schema()
+        in_types = dict(zip(sch.names, sch.types)) if sch else {}
+        empty = {id_col: pa.array([], in_types.get(id_col, pa.int64()))}
+        for c in keep:
+            empty[c] = pa.array([], in_types.get(c, pa.int64()))
+        empty["rn"] = pa.array([], pa.int64())
+        if ntile:
+            empty["tile"] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(empty))
     if len(head) > sample_size:
         step = (np.arange(sample_size) * len(head)) // sample_size
         head = [head[i] for i in step]

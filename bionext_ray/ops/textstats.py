@@ -193,8 +193,14 @@ def mixture_sample_batch(batch, key_col: str, group_col: str,
 
     ``rates`` maps group value -> keep fraction in [0, 1]; groups absent
     from the map use ``default_rate``. Purely batch-local (no shuffle): the
-    rates dict is tiny config, captured in the task closure — at 100 TB the
-    only cost is the per-row hash.
+    rates dict is tiny config, captured in the task closure.
+
+    COST NOTE (same contract as ``hash_sample_batch`` / the KMV partial):
+    md5 is the rank function BECAUSE DuckDB has the identical md5() —
+    that is what makes the op SQL-mirrorable, so one C-level md5 per row
+    is the floor. Everything else is hoisted out of the row loop: the
+    seed suffix is encoded once and the threshold is resolved once per
+    DISTINCT group value, so the loop body is hash + one string compare.
     """
     import hashlib
 
@@ -205,9 +211,11 @@ def mixture_sample_batch(batch, key_col: str, group_col: str,
     default_t = format(int(default_rate * 0xFFFFFFFF), "08x")
     keys = batch[key_col].to_pylist()
     groups = batch[group_col].to_pylist()
+    suffix = f"-{seed}".encode()
+    thr_for = {g: thresholds.get(g, default_t) for g in set(groups)}
+    md5 = hashlib.md5
     mask = pa.array([
-        hashlib.md5(f"{k}-{seed}".encode()).hexdigest()[:8]
-        < thresholds.get(g, default_t)
+        md5(str(k).encode() + suffix).hexdigest()[:8] < thr_for[g]
         for k, g in zip(keys, groups)])
     return batch.filter(mask)
 

@@ -108,6 +108,11 @@ def materialize_graph(canonical_ds, out_dir: str, n_buckets: int = 16):
     for d in (tri_dir, node_dir, adj_dir):
         if os.path.isdir(d):
             shutil.rmtree(d)
+    # materialize ONCE: three writers fan out from here (triples, node
+    # degrees, adjacency). Without this the lazy canonical pipeline —
+    # under merge_graph_increment, a re-read of the whole existing triple
+    # table plus the union+groupby — would execute three times.
+    canonical_ds = canonical_ds.materialize()
     bucketed = canonical_ds.map_batches(lambda b: _bucket(b, n_buckets),
                                         batch_format="pyarrow")
     bucketed.write_parquet(tri_dir, partition_cols=["bucket"])

@@ -637,3 +637,38 @@ def test_grouped_centroids_string_keys(ray_session):
     assert got["lang"].tolist() == ["de", "de", "en", "en"]
     assert got["centroid_micro"].tolist() == [
         3_000_000, 4_000_000, 2_000_000, 4_000_000]
+
+
+def test_rollup_cube_string_measure_grand_total(ray_session):
+    """min/max over a STRING measure: the grand-total row must carry the
+    level-1 schema's type instead of hard-casting to int64 (crash or
+    corruption before the fix)."""
+    from bionext_ray.ops.relational import cube_agg, rollup_agg
+    ds = _ds({"a": pa.array(["x", "x", "y"], pa.string()),
+              "b": pa.array(["p", "q", "p"], pa.string()),
+              "s": pa.array(["mango", "apple", "pear"], pa.string())})
+    for fn in (rollup_agg, cube_agg):
+        got = fn(ds, ["a", "b"], [("s", "min", "lo"),
+                                  ("s", "max", "hi")]).to_pandas()
+        grand = got[(got["a"] == "*ALL*") & (got["b"] == "*ALL*")]
+        assert len(grand) == 1
+        assert grand["lo"].iloc[0] == "apple"
+        assert grand["hi"].iloc[0] == "pear"
+
+
+def test_global_row_number_empty_input_keeps_output_schema(ray_session):
+    """Empty input must emit the SAME schema as non-empty output:
+    id_col + keep columns + rn (+ tile when ntile is set)."""
+    from bionext_ray.ops.relational import global_row_number
+    empty = _ds({"i": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64()),
+                 "tag": pa.array([], pa.string())})
+    got = global_row_number(empty, "v", "i", keep=["tag"], ntile=4)
+    sch = got.schema()
+    assert sch.names == ["i", "tag", "rn", "tile"]
+    assert got.count() == 0
+    nonempty = _ds({"i": pa.array([1], pa.int64()),
+                    "v": pa.array([2], pa.int64()),
+                    "tag": pa.array(["t"], pa.string())})
+    assert global_row_number(nonempty, "v", "i", keep=["tag"],
+                             ntile=4).schema().names == sch.names
