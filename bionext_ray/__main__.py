@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="actor pool max size (default: cluster CPUs)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus (default: all)")
+    p.add_argument("--num-gpus", type=float, default=None,
+                   help="per-actor GPU fraction for the model stages "
+                        "(map_batches num_gpus; default: none — correct "
+                        "for the surrogate CPU backends)")
     p.add_argument("--llm-api-module", default=None,
                    help="GenericAPICall plugin ('Module' or 'pkg.mod:Cls')")
     p.add_argument("--llm-api-address", default=None)
@@ -120,19 +124,22 @@ def main(argv=None) -> int:
                 "tagged", lambda: tagger_stage(tagged, kb.gazetteer,
                                                concurrency=conc,
                                                batch_size=args.batch_size,
-                                               backend=tag_backend))
+                                               backend=tag_backend,
+                                               num_gpus=args.num_gpus))
         if args.linker:
             to_link = ds
             ds = runner.stage(
                 "linked", lambda: linker_stage(to_link, kb, concurrency=conc,
                                                batch_size=args.batch_size,
-                                               llm_spec=llm_spec))
+                                               llm_spec=llm_spec,
+                                               num_gpus=args.num_gpus))
         if args.extractor:
             linked = ds
             triples = runner.stage(
                 "triples", lambda: extractor_stage(linked, concurrency=conc,
                                                    batch_size=args.batch_size,
-                                                   backend=ext_backend))
+                                                   backend=ext_backend,
+                                                   num_gpus=args.num_gpus))
             from .stages.canonicalize import canonicalize_stage, materialize_graph
             canonical = runner.stage(
                 "canonical", lambda: canonicalize_stage(triples))

@@ -89,8 +89,12 @@ class ExtractorStage:
 
 
 def extractor_stage(linked_ds, concurrency=4, batch_size: int = 128,
-                    num_cpus: float = 1, backend=None):
+                    num_cpus: float = 1, backend=None,
+                    num_gpus: float | None = None):
+    """num_gpus: per-actor GPU fraction for a real model backend
+    (SURVEY §2.3 T6); None (default) requests no GPUs."""
+    extra = {} if num_gpus is None else {"num_gpus": num_gpus}
     return linked_ds.map_batches(
         ExtractorStage, fn_constructor_args=(backend,),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus)
+        concurrency=concurrency, num_cpus=num_cpus, **extra)

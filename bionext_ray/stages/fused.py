@@ -69,10 +69,15 @@ class KGFusedStage:
 
 def kg_fused_stage(docs_ds, kb, concurrency=4, batch_size: int = 64,
                    num_cpus: float = 1, llm_spec: dict | None = None,
-                   transforms=None, backends: dict | None = None):
+                   transforms=None, backends: dict | None = None,
+                   num_gpus: float | None = None):
+    """num_gpus: per-actor GPU fraction when real model backends are
+    plugged in (the fused actor hosts tagger+linker+extractor, so the
+    fraction covers all three); None (default) requests no GPUs."""
     kb_ref = kb if isinstance(kb, ray.ObjectRef) else ray.put(kb)
+    extra = {} if num_gpus is None else {"num_gpus": num_gpus}
     return docs_ds.map_batches(
         KGFusedStage,
         fn_constructor_args=(kb_ref, llm_spec, transforms, backends),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus)
+        concurrency=concurrency, num_cpus=num_cpus, **extra)

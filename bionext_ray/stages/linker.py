@@ -120,8 +120,11 @@ class LinkerStage:
 
 def linker_stage(tagged_ds, kb, concurrency=4, batch_size: int = 256,
                  num_cpus: float = 1, llm_spec: dict | None = None,
-                 embedder=None):
+                 embedder=None, num_gpus: float | None = None):
+    """num_gpus: per-actor GPU fraction for a real embedder backend
+    (SURVEY §2.3 T2); None (default) requests no GPUs."""
+    extra = {} if num_gpus is None else {"num_gpus": num_gpus}
     return tagged_ds.map_batches(
         LinkerStage, fn_constructor_args=(kb, llm_spec, embedder),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus)
+        concurrency=concurrency, num_cpus=num_cpus, **extra)

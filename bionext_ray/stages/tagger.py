@@ -62,11 +62,16 @@ class TaggerStage:
 
 def tagger_stage(docs_ds, gazetteer: dict[str, str], concurrency=4,
                  batch_size: int = 256, num_cpus: float = 1,
-                 transforms=None, backend=None):
+                 transforms=None, backend=None,
+                 num_gpus: float | None = None):
+    """num_gpus: per-actor GPU fraction for a real model backend
+    (SURVEY §2.3 T1 prescribes map_batches(..., num_gpus=...)); None (the
+    default) requests no GPUs — correct for the surrogate backends."""
+    extra = {} if num_gpus is None else {"num_gpus": num_gpus}
     return docs_ds.map_batches(
         TaggerStage, fn_constructor_args=(gazetteer, transforms, backend),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus)
+        concurrency=concurrency, num_cpus=num_cpus, **extra)
 
 
 def explode_mentions(tagged_ds):

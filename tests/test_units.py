@@ -193,3 +193,27 @@ def test_term_count_batch_dedupes_terms():
     rows = sorted(zip(out["term"].to_pylist(), out["n"].to_pylist()))
     # one row per (doc, distinct term); duplicate entry doesn't double-emit
     assert rows == [("gene", 2), ("protein", 1)]
+
+
+def test_model_stages_expose_num_gpus():
+    """SURVEY §2.3 T1/T2/T6: every model-actor stage must accept a
+    per-actor num_gpus fraction (map_batches passthrough) so a real-GPU
+    deployment can reserve fractions without editing stage code. GPU
+    execution is untestable in this sandbox; pin the signature + default."""
+    import inspect
+
+    from bionext_ray.stages.extractor import extractor_stage
+    from bionext_ray.stages.fused import kg_fused_stage
+    from bionext_ray.stages.linker import linker_stage
+    from bionext_ray.stages.tagger import tagger_stage
+    for fn in (tagger_stage, linker_stage, extractor_stage, kg_fused_stage):
+        par = inspect.signature(fn).parameters.get("num_gpus")
+        assert par is not None, fn.__name__
+        assert par.default is None, fn.__name__
+
+
+def test_cli_exposes_num_gpus_flag():
+    from bionext_ray.__main__ import build_parser
+    args = build_parser().parse_args(["src", "--num-gpus", "0.25"])
+    assert args.num_gpus == 0.25
+    assert build_parser().parse_args(["src"]).num_gpus is None
