@@ -269,13 +269,44 @@ def main():
                 "scaling_efficiency": round(eff, 3),
             })
         first = legs[pairs[0][0]]
+        # ---- same-session compute ceiling (no Ray, plain fork+Pool over
+        # the SAME corpus the legs just consumed): this one box shares a
+        # memory subsystem across all workers, so its best-achievable
+        # compute-only efficiency is itself < 1 and moves with neighbor
+        # load. Recording it in the SAME session makes the scaling number
+        # time-of-day-proof: normalized_efficiency = raw / ceiling is what
+        # a bandwidth-scaled 4x cluster would see. Worker counts mirror
+        # the pipeline's pool sizing rule (n - n//8 of n CPUs).
+        # Disable with BENCH_SCALING_CEILING=0 (e.g. quick smoke runs).
+        ceilings = {}
+        if os.environ.get("BENCH_SCALING_CEILING", "1") != "0":
+            from tools.mp_ceiling import measure_ceiling
+            sf_dir = first["sf"]
+            pages_dir = os.environ.get(
+                "BENCH_PAGES_DIR",
+                f"/tmp/bench_pages_sf{os.path.basename(sf_dir)}"
+                f"_x{first['repl_factor']}")
+            for p in out_pairs:
+                w = (max(1, p["cpus_lo"] - p["cpus_lo"] // 8),
+                     max(1, p["cpus_hi"] - p["cpus_hi"] // 8))
+                if w not in ceilings:
+                    ceilings[w] = measure_ceiling(w[0], w[1],
+                                                  pages_dir=pages_dir)
+                c = ceilings[w]
+                p["ceiling_efficiency"] = c["ceiling_efficiency"]
+                p["normalized_efficiency"] = round(
+                    p["scaling_efficiency"] / c["ceiling_efficiency"], 3)
         print(json.dumps({
             "metric": "kg_pipeline_scaling",
             "pairs": out_pairs,
             # headline fields = FIRST pair (prescribed 8->32 by default)
             **{k: out_pairs[0][k] for k in
                ("cpus_lo", "cpus_hi", "sec_lo", "sec_hi",
-                "scaling_efficiency")},
+                "scaling_efficiency")
+               if k in out_pairs[0]},
+            **{k: out_pairs[0][k] for k in
+               ("ceiling_efficiency", "normalized_efficiency")
+               if k in out_pairs[0]},
             "pages": first["pages"],
             "sf": first["sf"],
             "repl_factor": first["repl_factor"],

@@ -53,19 +53,26 @@ def _run(texts, workers, chunk=256):
     return wall, n
 
 
-def main():
-    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 7
-    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 28
-    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 40_000
+def measure_ceiling(lo: int = 7, hi: int = 28, n_docs: int = 40_000,
+                    pages_dir: str | None = None) -> dict:
+    """Measure the host's compute-only N->4N scaling ceiling right now.
+
+    Importable so `bench.py --scaling` can record the ceiling IN THE SAME
+    SESSION as every scaling pair (the number swings with neighbor load;
+    a ceiling probed hours apart explains nothing). ``pages_dir`` pins the
+    probe to the exact corpus the scaling legs consumed; otherwise the
+    newest bench corpus cache (or fixture pages) is used.
+    """
     # pages = the BENCH corpus when its cache exists (the honest
     # apples-to-apples load: raw (html, text) rows, extraction TIMED like
     # the pipeline's operator), else fixture pages
     import glob
     rows = []
-    cache = sorted(glob.glob("/tmp/bench_pages_*/"))
-    if cache:
+    dirs = ([pages_dir + "/"] if pages_dir and os.path.isdir(pages_dir)
+            else sorted(glob.glob("/tmp/bench_pages_*/"))[-1:])
+    if dirs:
         import pyarrow.parquet as pq
-        for f in sorted(glob.glob(cache[-1] + "*.parquet")):
+        for f in sorted(glob.glob(dirs[0] + "*.parquet")):
             t = pq.read_table(f, columns=["html", "text"])
             rows += list(zip(t["html"].to_pylist(), t["text"].to_pylist()))
             if len(rows) >= n_docs:
@@ -78,12 +85,19 @@ def main():
     w_hi, _ = _run(texts, hi)
     w_lo, n = _run(texts, lo)
     eff = (w_lo / w_hi) / (hi / lo)
-    print(json.dumps({
+    return {
         "metric": "mp_ceiling", "workers_lo": lo, "workers_hi": hi,
         "sec_lo": round(w_lo, 3), "sec_hi": round(w_hi, 3),
         "docs": n_docs, "ms_per_doc_lo": round(w_lo / n_docs * 1e3, 4),
         "ms_per_doc_hi": round(w_hi / n_docs * 1e3, 4),
-        "ceiling_efficiency": round(eff, 3)}))
+        "ceiling_efficiency": round(eff, 3)}
+
+
+def main():
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 28
+    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 40_000
+    print(json.dumps(measure_ceiling(lo, hi, n_docs)))
 
 
 if __name__ == "__main__":
