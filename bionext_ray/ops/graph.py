@@ -123,25 +123,121 @@ def degree_distribution(edges_ds, src: str = "src", dst: str = "dst",
                              shuffle_partitions=shuffle_partitions)
 
 
+def _triangle_count_broadcast(und):
+    """Broadcast triangle count: the whole DISTINCT undirected edge list
+    fits comfortably in driver + worker memory (gated by caller), so the
+    degree/orientation prep runs as local numpy and ONLY the wedge
+    enumeration — the superlinear part, sum_a C(outdeg(a), 2) — fans out
+    over Ray tasks against a broadcast CSR.
+
+    Per task: two grouped-arange expansions enumerate the slice's wedge
+    (x, y) pairs fully vectorized (no sqrt, no per-apex Python), then one
+    searchsorted membership test against the sorted composite closing-key
+    array. Apex slices are cut on the CUMULATIVE wedge count, so tasks are
+    wedge-balanced even though oriented out-degrees vary."""
+    import ray
+    import ray.data
+
+    tabs = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return ray.data.from_arrow(pa.table(
+            {"n_triangles": pa.array([0], pa.int64())}))
+    t = pa.concat_tables(tabs)
+    u = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    n = np.int64(len(nodes))
+    ui, vi = inv[:len(u)], inv[len(u):]
+    deg = (np.bincount(ui, minlength=n) + np.bincount(vi, minlength=n))
+    # total (deg, id) order over COMPACTED ids: rank = deg*n + id, unique
+    rank = deg.astype(np.int64) * n + np.arange(n, dtype=np.int64)
+    ru, rv = rank[ui], rank[vi]
+    fwd = ru < rv
+    a = np.where(fwd, ui, vi)
+    b = np.where(fwd, vi, ui)
+    # CSR grouped by apex a, neighbours stored in ascending RANK order so
+    # within-list pairs (i < j) are already closing-edge oriented
+    order = np.lexsort((rank[b], a))
+    a_s, b_s = a[order], b[order]
+    offsets = np.searchsorted(a_s, np.arange(n + 1))
+    ekeys = np.sort(a * n + b)           # sorted composite edge keys
+    outdeg = np.diff(offsets).astype(np.int64)
+    wedge_per_apex = outdeg * (outdeg - 1) // 2
+    cum = np.concatenate([[0], np.cumsum(wedge_per_apex)])
+    total_w = int(cum[-1])
+    if total_w == 0:
+        return ray.data.from_arrow(pa.table(
+            {"n_triangles": pa.array([0], pa.int64())}))
+    # ~1M wedges per task: bounded temporaries, enough tasks to fill cores
+    n_tasks = max(1, min(4 * int(ray.cluster_resources().get("CPU", 8)),
+                         total_w // 1_000_000 + 1))
+    bounds = np.unique(np.searchsorted(
+        cum, np.linspace(0, total_w, n_tasks + 1)))
+    csr_ref = ray.put((b_s, offsets, ekeys, int(n)))
+
+    def count_slice(batch: pa.Table) -> pa.Table:
+        b_s, offsets, ekeys, n = ray.get(csr_ref)
+        n = np.int64(n)
+        total = 0
+        for lo, hi in zip(batch["lo"].to_numpy(), batch["hi"].to_numpy()):
+            d = (offsets[lo + 1:hi + 1] - offsets[lo:hi]).astype(np.int64)
+            # level 1: (apex, j) rows for j in 1..d-1
+            c1 = np.maximum(d - 1, 0)
+            apex1 = np.repeat(np.arange(lo, hi, dtype=np.int64), c1)
+            starts1 = np.repeat(np.cumsum(c1) - c1, c1)
+            jj = np.arange(int(c1.sum()), dtype=np.int64) - starts1 + 1
+            if not len(jj):
+                continue
+            # level 2: each (apex, j) row expands to i in 0..j-1
+            apex2 = np.repeat(apex1, jj)
+            j2 = np.repeat(jj, jj)
+            starts2 = np.repeat(np.cumsum(jj) - jj, jj)
+            i2 = np.arange(int(jj.sum()), dtype=np.int64) - starts2
+            base = offsets[apex2]
+            x = b_s[base + i2]
+            y = b_s[base + j2]
+            key = x * n + y
+            pos = np.searchsorted(ekeys, key)
+            pos = np.minimum(pos, len(ekeys) - 1)
+            total += int((ekeys[pos] == key).sum())
+        return pa.table({"n": pa.array([total], pa.int64())})
+
+    slices = ray.data.from_arrow(pa.table({
+        "lo": pa.array(bounds[:-1], pa.int64()),
+        "hi": pa.array(bounds[1:], pa.int64())}))
+    parts = slices.repartition(len(bounds) - 1).map_batches(
+        count_slice, batch_format="pyarrow")
+    total = sum(r["n"] for r in parts.take_all())
+    return ray.data.from_arrow(pa.table(
+        {"n_triangles": pa.array([total], pa.int64())}))
+
+
 def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
-                   shuffle_partitions: int | None = None):
+                   shuffle_partitions: int | None = None,
+                   broadcast_edges_max: int = 4_000_000):
     """Count triangles in the UNDIRECTED simple graph induced by the edge
     table (direction dropped, self-loops removed, duplicates collapsed).
     Returns a one-row (n_triangles) table.
 
-    Degree-ordered node-iterator algorithm, composed from the repo's own
-    exchanges: orient every undirected edge from its lower-(degree, id)
-    endpoint to the higher one, self-join the oriented edges on source to
-    enumerate wedges, then close each wedge with a COMPOSITE-key
-    shuffle_join against the oriented edge set. Orientation bounds each
-    node's oriented out-degree by O(sqrt(m)) [Schank & Wagner 2005, the
-    standard node-iterator bound], so per-source wedge fan-out stays
-    bounded even on power-law webgraphs — the skew caveat a naive
-    src-grouped self-join would hit on hub nodes.
+    Two paths, gated like ``pagerank``'s broadcast/exchange dual:
 
-    Exchanges: distinct (1), degree agg (1), degree attach (2 joins), wedge
-    self-join (1), closing composite join (1) — all bucketed, none
-    driver-resident; only the final COUNT collapses to one row.
+    - **broadcast** (distinct edges <= ``broadcast_edges_max``, ~64 MB at
+      the default): local numpy degree/orientation prep, then the wedge
+      enumeration — the only superlinear stage — fans out over
+      wedge-balanced Ray tasks against a broadcast CSR + sorted edge-key
+      array. No join exchanges at all.
+    - **exchange** (the 100-TB path): orient every undirected edge from
+      its lower-(degree, id) endpoint to the higher one, self-join the
+      oriented edges on source to enumerate wedges, pre-aggregate
+      duplicate wedges in-task to (wx, wy, cnt), then close with a
+      COMPOSITE-key shuffle_join against the oriented edge set and sum
+      the surviving counts. Orientation bounds each node's oriented
+      out-degree by O(sqrt(m)) [Schank & Wagner 2005], so per-source
+      wedge fan-out stays bounded even on power-law webgraphs.
+
+    Exchange-path exchanges: distinct (1), degree agg (1), degree attach
+    (2 joins), wedge self-join (1), closing composite join (1) — all
+    bucketed, none driver-resident; only the final COUNT collapses.
     """
     from bionext_ray.ops.relational import bucketed_agg, shuffle_join
 
@@ -157,6 +253,9 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
     und = distinct_edges(edges_ds.map_batches(undirect,
                                               batch_format="pyarrow"),
                          shuffle_partitions=shuffle_partitions).materialize()
+
+    if und.count() <= broadcast_edges_max:
+        return _triangle_count_broadcast(und)
 
     # undirected degree: each edge counts at both endpoints
     def both_ends(b: pa.Table) -> pa.Table:
@@ -222,23 +321,34 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
         shuffle_partitions=Pw)
 
     def order_wedge(b: pa.Table) -> pa.Table:
+        """Keep each unordered wedge once AND pre-aggregate: two apexes
+        sharing the same neighbour pair produce identical (wx, wy) rows —
+        each is a distinct potential triangle, so they combine to a count
+        (never dropped), shrinking the closing join's exchange in-task."""
+        import pandas as pd
         x = b["x"].to_numpy(zero_copy_only=False)
         y = b["y"].to_numpy(zero_copy_only=False)
         rx = b["rx"].to_numpy(zero_copy_only=False)
         ry = b["ry"].to_numpy(zero_copy_only=False)
         keep = (rx < ry) | ((rx == ry) & (x < y))
-        return pa.table({"wx": pa.array(x[keep], pa.int64()),
-                         "wy": pa.array(y[keep], pa.int64())})
+        df = pd.DataFrame({"wx": x[keep], "wy": y[keep]})
+        g = df.groupby(["wx", "wy"], sort=False).size().reset_index(
+            name="cnt")
+        return pa.table({"wx": pa.array(g["wx"], pa.int64()),
+                         "wy": pa.array(g["wy"], pa.int64()),
+                         "cnt": pa.array(g["cnt"], pa.int64())})
 
     closed = shuffle_join(wedges.map_batches(order_wedge,
                                              batch_format="pyarrow"),
                           oriented.select_columns(["a", "b"]),
                           on=[("wx", "a"), ("wy", "b")],
-                          left_cols=[], right_cols=[],
+                          left_cols=["cnt"], right_cols=[],
                           shuffle_partitions=Pw)
 
-    n = closed.count()
     import ray
+    from ray.data.aggregate import Sum
+    row = closed.aggregate(Sum("cnt", alias_name="n")) or {}
+    n = int(row.get("n") or 0)
     return ray.data.from_arrow(pa.table(
         {"n_triangles": pa.array([n], pa.int64())}))
 

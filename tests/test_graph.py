@@ -52,12 +52,29 @@ def _tri_brute(raw):
 
 
 def test_triangle_count_matches_bruteforce(ray_session):
+    """Both the broadcast path (default gate) and the exchange path
+    (gate forced to 0) must equal brute force."""
     from bionext_ray.ops.graph import triangle_count
     rng = np.random.default_rng(5)
     raw = [tuple(e) for e in rng.integers(0, 25, (160, 2)).tolist()]
     raw += [(0, 1), (1, 2), (2, 0)]            # guarantee one triangle
+    want = _tri_brute(raw)
+    got_bc = triangle_count(_edge_ds(raw)).to_pandas()["n_triangles"][0]
+    got_ex = triangle_count(
+        _edge_ds(raw),
+        broadcast_edges_max=0).to_pandas()["n_triangles"][0]
+    assert got_bc == got_ex == want
+
+
+def test_triangle_count_noncompact_node_ids(ray_session):
+    """Broadcast path compacts ids with np.unique; huge sparse node ids
+    (beyond any bincount range pre-compaction) must still count right."""
+    from bionext_ray.ops.graph import triangle_count
+    big = 10**15
+    raw = [(big, big + 7), (big + 7, big + 999), (big + 999, big),
+           (big, big + 5)]
     got = triangle_count(_edge_ds(raw)).to_pandas()["n_triangles"][0]
-    assert got == _tri_brute(raw)
+    assert got == 1
 
 
 def test_triangle_count_no_triangles(ray_session):
