@@ -987,6 +987,18 @@ def q_contamination(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filters per doc [Rae et al. 2021
+    §A1.1]: duplicate-word fraction, top-word fraction, top-bigram
+    fraction (integer ppm). Batch-local: one Arrow lower+split, one
+    pandas factorize to int codes, then numpy unique/bincount/reduceat —
+    the cheap boilerplate/keyword-stuffing filter a crawl pipeline runs
+    before training."""
+    from bionext_ray.ops.textstats import repetition_stats_batch
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking: every doc pair within 2 positions of
     each other in (md5(text), doc_id) order — the classic ER candidate
@@ -1765,6 +1777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_mentions": q_kg_linked_mentions,
         "kg_triples": q_kg_triples,
         "kg_canonical_triples": q_kg_canonical_triples,
+        # -- new in round 4 --
+        "repetition_stats": q_repetition_stats,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2586,6 +2600,38 @@ def oracle_sql() -> dict[str, str]:
                  (VALUES {", ".join(f"('{g}')" for g in _TEST_GRAMS)})
                  AS g(gram)
             GROUP BY d.doc_id
+        """,
+        "repetition_stats": """
+            WITH words AS (
+                SELECT doc_id,
+                       string_split(lower(COALESCE(text, '')), ' ') AS l
+                FROM documents),
+            wc AS (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM (SELECT doc_id, UNNEST(l) AS w FROM words)
+                GROUP BY doc_id, w),
+            agg AS (
+                SELECT doc_id, SUM(c) AS total, COUNT(*) AS nd,
+                       MAX(c) AS topw
+                FROM wc GROUP BY doc_id),
+            bi AS (
+                SELECT doc_id, b, COUNT(*) AS c
+                FROM (SELECT doc_id,
+                             UNNEST(list_transform(range(1, len(l)),
+                                    i -> l[i] || ' ' || l[i + 1])) AS b
+                      FROM words)
+                GROUP BY doc_id, b),
+            bagg AS (SELECT doc_id, MAX(c) AS topb FROM bi GROUP BY doc_id)
+            SELECT a.doc_id,
+                   CAST(a.total AS BIGINT) AS n_words,
+                   CAST(1000000 * (a.total - a.nd) // a.total AS BIGINT)
+                       AS dup_word_ppm,
+                   CAST(1000000 * a.topw // a.total AS BIGINT)
+                       AS top_word_ppm,
+                   CAST(1000000 * COALESCE(b.topb, 0)
+                        // GREATEST(a.total - 1, 1) AS BIGINT)
+                       AS top_bigram_ppm
+            FROM agg a LEFT JOIN bagg b USING (doc_id)
         """,
         "sorted_neighborhood": """
             WITH r AS (SELECT doc_id, md5(COALESCE(text, '')) AS h

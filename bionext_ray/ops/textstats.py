@@ -585,3 +585,75 @@ def contamination_batch(batch: pa.Table, test_grams: list[str],
         "doc_id": batch["doc_id"],
         "n_hits": pa.array(hits, pa.int64()),
         "contaminated": pa.array(hits >= flag_min, pa.bool_())})
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality signals per document [Rae et al.
+    2021, "Scaling Language Models" §A1.1 repetition filters], over the
+    space-tokenized lowercase text:
+
+      dup_word_ppm   — fraction of word OCCURRENCES that are repeats of an
+                       earlier word in the same doc: (total - distinct).
+      top_word_ppm   — occurrences of the single most frequent word.
+      top_bigram_ppm — occurrences of the most frequent adjacent word
+                       PAIR, over total bigrams (len-1; 0 for 1-word docs).
+
+    All ppm values are integer floor-division (SQL //-mirrorable). A high
+    dup/top fraction marks boilerplate and keyword-stuffed pages — the
+    standard cheap repetition filter a crawl pipeline applies before
+    training. Batch-local, fully vectorized: one Arrow lower+split, one
+    pandas factorize (C hash) to integer codes, then numpy
+    unique/bincount/reduceat — no per-row Python, no object-dtype sort
+    (the fingerprint_batch lesson)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(batch["text"], "")
+    words = pc.split_pattern(pc.utf8_lower(text), " ")
+    lengths = pc.list_value_length(words).to_numpy().astype(np.int64)
+    n = len(lengths)
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    V = np.int64(max(len(uniques), 1))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+
+    # per-doc word histogram: unique (doc, code) keys + counts; keys sort
+    # doc-major so per-doc groups are contiguous
+    key = doc_idx * V + codes
+    ukey, cnt = np.unique(key, return_counts=True)
+    udoc = ukey // V
+    n_distinct = np.bincount(udoc, minlength=n)
+    starts = np.searchsorted(udoc, np.arange(n))
+    has = n_distinct > 0
+    top_word = np.zeros(n, np.int64)
+    if len(cnt):
+        top_word[has] = np.maximum.reduceat(cnt, starts[has])
+
+    # adjacent bigrams: pair (code[i], code[i+1]) where both positions
+    # belong to the same doc
+    same = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) > 1 else \
+        np.zeros(0, bool)
+    bdoc = doc_idx[:-1][same]
+    bkey = bdoc * (V * V) + codes[:-1][same] * V + codes[1:][same]
+    n_bigrams = np.maximum(lengths - 1, 0)
+    top_bigram = np.zeros(n, np.int64)
+    if len(bkey):
+        ubk, bcnt = np.unique(bkey, return_counts=True)
+        ubd = ubk // (V * V)
+        bstarts = np.searchsorted(ubd, np.arange(n))
+        bhas = np.bincount(ubd, minlength=n) > 0
+        top_bigram[bhas] = np.maximum.reduceat(bcnt, bstarts[bhas])
+
+    M = np.int64(1_000_000)
+    safe_w = np.maximum(lengths, 1)
+    safe_b = np.maximum(n_bigrams, 1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(lengths, pa.int64()),
+        "dup_word_ppm": pa.array(
+            M * (lengths - n_distinct) // safe_w, pa.int64()),
+        "top_word_ppm": pa.array(M * top_word // safe_w, pa.int64()),
+        "top_bigram_ppm": pa.array(M * top_bigram // safe_b, pa.int64()),
+    })
