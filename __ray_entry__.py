@@ -999,6 +999,68 @@ def q_repetition_stats(sf_dir: str):
     return docs.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
+def _crawl_pages(sf_dir: str):
+    """Deterministic crawl fixture WITH anchors (the flagship pages table
+    carries none): per doc d, host = site{d%7}.example, url =
+    https://{host}/doc/{d}; k = d%3+1 anchors j=1..k where odd j is a
+    RELATIVE href '/p/{j}#sec' (resolves to the page's own host, text
+    'site{d%7} page') and even j is an ABSOLUTE upper-case
+    'HTTPS://SITE{(d+j)%7}.EXAMPLE/p/{j}#x' (text 'visit {(d+j)%7}') —
+    exercising RFC-3986 resolution, scheme/host case folding and fragment
+    stripping. Every page also carries mailto:/javascript:/href-less
+    anchors that the normalizer (and the SQL oracle, which never counts
+    them) must drop. Fixture synthesis is per-row Python by design (test
+    harness, not a production kernel)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in batch["doc_id"].to_pylist():
+            host = f"site{d % 7}.example"
+            anchors = []
+            for j in range(1, d % 3 + 2):
+                if j % 2 == 0:
+                    t = (d + j) % 7
+                    anchors.append(
+                        f'<a href="HTTPS://SITE{t}.EXAMPLE/p/{j}#x">'
+                        f'visit {t}</a>')
+                else:
+                    anchors.append(
+                        f'<a href="/p/{j}#sec">site{d % 7} page</a>')
+            anchors.append('<a href="mailto:admin@example.org">mail</a>')
+            anchors.append('<a href="javascript:void(0)">js</a>')
+            anchors.append('<a name="no-href">skip</a>')
+            urls.append(f"https://{host}/doc/{d}")
+            htmls.append(
+                (f"<html><head><title>Doc {d}</title></head><body><nav>"
+                 + "".join(anchors)
+                 + f"</nav><p>page {d}</p></body></html>").encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def q_host_link_graph(sf_dir: str):
+    """Web link graph: parse every <a href> out of the crawl HTML
+    (stdlib HTMLParser, doc-local), resolve relative hrefs against the
+    page URL, fold scheme/host case, strip fragments, drop non-http(s)
+    targets, then count links per (src_host, dst_host) — in-block partial
+    combine so only (host-pair, count) rows cross the ONE bucketed
+    exchange. The host edge table is the substrate for crawl-frontier
+    PageRank and host-level spam clustering."""
+    from bionext_ray.ops.weblinks import host_link_graph
+    return host_link_graph(_crawl_pages(sf_dir))
+
+
+def q_top_anchor_text(sf_dir: str):
+    """Per linked-to host: the most common anchor text pointing at it
+    (count desc, text asc — deterministic) — the classic entity-naming
+    signal when promoting a link graph to a knowledge graph."""
+    from bionext_ray.ops.weblinks import top_anchor_text
+    return top_anchor_text(_crawl_pages(sf_dir))
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking: every doc pair within 2 positions of
     each other in (md5(text), doc_id) order — the classic ER candidate
@@ -1779,6 +1841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         # -- new in round 4 --
         "repetition_stats": q_repetition_stats,
+        "host_link_graph": q_host_link_graph,
+        "top_anchor_text": q_top_anchor_text,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2632,6 +2696,45 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(a.total - 1, 1) AS BIGINT)
                        AS top_bigram_ppm
             FROM agg a LEFT JOIN bagg b USING (doc_id)
+        """,
+        # Mirrors the _crawl_pages fixture arithmetic: the engine PARSES
+        # the HTML and resolves/normalizes URLs; the oracle recomputes the
+        # intended edges directly (odd j -> own host, even j -> (d+j)%7;
+        # mailto:/javascript:/href-less anchors counted by neither side).
+        "host_link_graph": """
+            WITH j AS (SELECT doc_id,
+                              UNNEST(range(1, doc_id % 3 + 2)) AS j
+                       FROM documents),
+                 e AS (SELECT 'site' || (doc_id % 7) || '.example'
+                                  AS src_host,
+                              'site' || (CASE WHEN j % 2 = 0
+                                              THEN (doc_id + j) % 7
+                                              ELSE doc_id % 7 END)
+                                  || '.example' AS dst_host
+                       FROM j)
+            SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM e GROUP BY src_host, dst_host
+        """,
+        "top_anchor_text": """
+            WITH j AS (SELECT doc_id,
+                              UNNEST(range(1, doc_id % 3 + 2)) AS j
+                       FROM documents),
+                 e AS (SELECT CASE WHEN j % 2 = 0 THEN (doc_id + j) % 7
+                                   ELSE doc_id % 7 END AS t,
+                              j % 2 = 0 AS ev
+                       FROM j),
+                 c AS (SELECT 'site' || t || '.example' AS dst_host,
+                              CASE WHEN ev THEN 'visit ' || t
+                                   ELSE 'site' || t || ' page' END
+                                  AS anchor_text,
+                              COUNT(*) AS n
+                       FROM e GROUP BY 1, 2),
+                 r AS (SELECT dst_host, anchor_text AS top_anchor,
+                              CAST(n AS BIGINT) AS n,
+                              ROW_NUMBER() OVER (PARTITION BY dst_host
+                                  ORDER BY n DESC, anchor_text) AS rn
+                       FROM c)
+            SELECT dst_host, top_anchor, n FROM r WHERE rn = 1
         """,
         "sorted_neighborhood": """
             WITH r AS (SELECT doc_id, md5(COALESCE(text, '')) AS h
