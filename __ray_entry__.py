@@ -1041,6 +1041,26 @@ def _crawl_pages(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def q_ngram_docfreq(sf_dir: str):
+    """Corpus boilerplate-phrase inventory: every word trigram appearing
+    in >= 2 distinct documents, with document frequency and occurrence
+    count. Doc-local incidence (distinct-doc count = row count) -> ONE
+    gram-bucketed exchange of pre-combined partials."""
+    from bionext_ray.ops.textstats import ngram_docfreq
+    return ngram_docfreq(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         n=3, min_df=2)
+
+
+def q_boilerplate(sf_dir: str):
+    """Per-doc cross-document repetition fraction (RefinedWeb/CCNet-style
+    boilerplate signal): share of each doc's trigram occurrences whose
+    gram appears in >= 2 distinct docs, integer ppm; zero-gram docs emit
+    0 (left-join contract)."""
+    from bionext_ray.ops.textstats import boilerplate_ppm
+    return boilerplate_ppm(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           n=3, min_df=2)
+
+
 def q_host_link_graph(sf_dir: str):
     """Web link graph: parse every <a href> out of the crawl HTML
     (stdlib HTMLParser, doc-local), resolve relative hrefs against the
@@ -1843,6 +1863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "host_link_graph": q_host_link_graph,
         "top_anchor_text": q_top_anchor_text,
+        "ngram_docfreq": q_ngram_docfreq,
+        "boilerplate": q_boilerplate,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2696,6 +2718,49 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(a.total - 1, 1) AS BIGINT)
                        AS top_bigram_ppm
             FROM agg a LEFT JOIN bagg b USING (doc_id)
+        """,
+        "ngram_docfreq": """
+            WITH w AS (SELECT doc_id,
+                              string_split(lower(COALESCE(text, '')), ' ')
+                                  AS l
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i + 1] || ' '
+                                       || l[i + 2])) AS gram
+                       FROM w WHERE len(l) >= 3),
+                 cnt AS (SELECT doc_id, gram, COUNT(*) AS occ
+                         FROM g GROUP BY 1, 2)
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(occ) AS BIGINT) AS n_occurrences
+            FROM cnt GROUP BY gram HAVING COUNT(*) >= 2
+        """,
+        "boilerplate": """
+            WITH w AS (SELECT doc_id,
+                              string_split(lower(COALESCE(text, '')), ' ')
+                                  AS l
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i + 1] || ' '
+                                       || l[i + 2])) AS gram
+                       FROM w WHERE len(l) >= 3),
+                 cnt AS (SELECT doc_id, gram, COUNT(*) AS occ
+                         FROM g GROUP BY 1, 2),
+                 df AS (SELECT gram FROM cnt
+                        GROUP BY gram HAVING COUNT(*) >= 2),
+                 tot AS (SELECT doc_id, SUM(occ) AS total
+                         FROM cnt GROUP BY doc_id),
+                 dup AS (SELECT c.doc_id, SUM(c.occ) AS dup_occ
+                         FROM cnt c JOIN df USING (gram)
+                         GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.total, 0) AS BIGINT) AS n_grams,
+                   CAST(1000000 * COALESCE(p.dup_occ, 0)
+                        // GREATEST(COALESCE(t.total, 0), 1) AS BIGINT)
+                       AS dup_ppm
+            FROM documents d LEFT JOIN tot t USING (doc_id)
+                             LEFT JOIN dup p USING (doc_id)
         """,
         # Mirrors the _crawl_pages fixture arithmetic: the engine PARSES
         # the HTML and resolves/normalizes URLs; the oracle recomputes the

@@ -657,3 +657,134 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
         "top_word_ppm": pa.array(M * top_word // safe_w, pa.int64()),
         "top_bigram_ppm": pa.array(M * top_bigram // safe_b, pa.int64()),
     })
+
+
+def ngram_incidence_batch(batch: pa.Table, n: int = 3) -> pa.Table:
+    """Per-doc word n-gram incidence: one row per (doc_id, distinct gram)
+    with its occurrence count and the doc's total gram count. Tokenization
+    is the repo-standard space-split of lowercased text (matches DuckDB
+    string_split exactly). Gram-string assembly is a per-doc Counter over
+    a zip window — string joins dominate either way, and the per-doc loop
+    measured faster than object-dtype vectorization for string building
+    (the fingerprint_batch lesson). Docs with < n words emit nothing."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(batch["text"], "")
+    words = pc.split_pattern(pc.utf8_lower(text), " ").to_pylist()
+    doc_ids = batch["doc_id"].to_pylist()
+    o_doc, o_gram, o_occ, o_tot = [], [], [], []
+    for did, ws in zip(doc_ids, words):
+        total = len(ws) - n + 1
+        if total <= 0:
+            continue
+        c = Counter(" ".join(ws[i:i + n]) for i in range(total))
+        for g, k in c.items():
+            o_doc.append(did)
+            o_gram.append(g)
+            o_occ.append(k)
+            o_tot.append(total)
+    return pa.table({"doc_id": pa.array(o_doc, pa.int64()),
+                     "gram": pa.array(o_gram, pa.string()),
+                     "occ": pa.array(o_occ, pa.int64()),
+                     "n_grams": pa.array(o_tot, pa.int64())})
+
+
+def ngram_docfreq(documents_ds, n: int = 3, min_df: int = 2,
+                  shuffle_partitions: int | None = None):
+    """Corpus duplicate-n-gram table: every word n-gram appearing in
+    >= min_df DISTINCT documents, with its document frequency and total
+    occurrence count — the boilerplate/template-phrase inventory a crawl
+    pipeline mines before stripping repeated page furniture.
+
+    Shape: doc-local incidence (one row per distinct (doc, gram), so the
+    distinct-doc count is a plain row count) -> ONE gram-hash bucketed
+    exchange (ops.relational.bucketed_agg: in-block combine first, so only
+    (gram, partial) rows cross the wire)."""
+    import pyarrow.compute as pc
+
+    from .relational import bucketed_agg
+
+    inc = documents_ds.map_batches(
+        lambda b: ngram_incidence_batch(b, n).select(
+            ["doc_id", "gram", "occ"]),
+        batch_format="pyarrow")
+    agg = bucketed_agg(inc, ["gram"],
+                       [("doc_id", "count", "df"),
+                        ("occ", "sum", "n_occurrences")],
+                       shuffle_partitions=shuffle_partitions)
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["df"], min_df)),
+        batch_format="pyarrow")
+
+
+def boilerplate_ppm(documents_ds, n: int = 3, min_df: int = 2,
+                    shuffle_partitions: int | None = None):
+    """Per-doc cross-document repetition fraction: what share of a doc's
+    n-gram occurrences are grams that appear in >= min_df distinct docs
+    (integer ppm, floor division). The RefinedWeb/CCNet-style signal for
+    template-heavy pages — high dup_ppm marks navigation chrome and
+    mirrored boilerplate rather than original text.
+
+    Pipeline (documented partitioning): incidence -> gram-bucketed
+    exchange computing global df per gram and keeping only duplicated
+    grams' per-doc partials -> doc-bucketed sum -> shuffle join against
+    the doc-local totals (left join: docs with zero duplicated or zero
+    grams still emit dup_ppm 0). Three exchanges total, each over
+    already-reduced rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .relational import (_key_buckets, bucketed_agg,
+                             coalesce_for_exchange, shuffle_join)
+
+    P = max(16, shuffle_partitions or 0)
+    inc = documents_ds.map_batches(
+        lambda b: ngram_incidence_batch(b, n).select(
+            ["doc_id", "gram", "occ"]),
+        batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = _key_buckets(b["gram"].to_numpy(zero_copy_only=False), P)
+        return b.append_column("__bucket", pa.array(h, pa.int64()))
+
+    def dup_partial(g: pd.DataFrame) -> pa.Table:
+        # rows are unique per (doc, gram), so the gram's row count IS its
+        # document frequency; all rows of a gram share this bucket
+        df_map = g["gram"].value_counts()
+        keep = g[g["gram"].map(df_map) >= min_df]
+        part = (keep.groupby("doc_id", sort=False)["occ"].sum()
+                .reset_index().rename(columns={"occ": "dup_occ"}))
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    dup = (coalesce_for_exchange(inc.map_batches(add_bucket,
+                                                 batch_format="pyarrow"), P)
+           .groupby("__bucket")
+           .map_groups(dup_partial, batch_format="pandas"))
+    dup = bucketed_agg(dup, ["doc_id"], [("dup_occ", "sum", "dup_occ")],
+                       shuffle_partitions=shuffle_partitions)
+
+    def totals(b: pa.Table) -> pa.Table:
+        text = pc.coalesce(b["text"], "")
+        ln = pc.list_value_length(
+            pc.split_pattern(pc.utf8_lower(text), " ")).to_numpy()
+        tot = np.maximum(ln.astype(np.int64) - (n - 1), 0)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_grams": pa.array(tot, pa.int64())})
+
+    tot_ds = documents_ds.map_batches(totals, batch_format="pyarrow")
+    joined = shuffle_join(tot_ds, dup, "doc_id", ["n_grams"], ["dup_occ"],
+                          how="left", shuffle_partitions=shuffle_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dup_occ"].to_numpy(zero_copy_only=False)
+        d = np.nan_to_num(d.astype(np.float64), nan=0.0).astype(np.int64)
+        ppm = 1_000_000 * d // np.maximum(tot, 1)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_grams": pa.array(tot, pa.int64()),
+                         "dup_ppm": pa.array(ppm, pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
