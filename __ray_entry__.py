@@ -1041,6 +1041,18 @@ def _crawl_pages(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def q_oov_rate(sf_dir: str):
+    """OOV-rate vocabulary filter: phase 1 builds the top-30 corpus
+    vocabulary (count desc, word asc; one bucketed exchange, <= k rows per
+    reduced block reach the driver), phase 2 broadcasts it via ray.put
+    and scores every doc with one is_in kernel + bincount per batch —
+    the fixed-vocab garbled-page filter of a training-data pipeline."""
+    from bionext_ray.ops.textstats import corpus_vocab_topk, oov_stats
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = corpus_vocab_topk(docs, k=30)
+    return oov_stats(docs, vocab)
+
+
 def q_ngram_docfreq(sf_dir: str):
     """Corpus boilerplate-phrase inventory: every word trigram appearing
     in >= 2 distinct documents, with document frequency and occurrence
@@ -1865,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_anchor_text": q_top_anchor_text,
         "ngram_docfreq": q_ngram_docfreq,
         "boilerplate": q_boilerplate,
+        "oov_rate": q_oov_rate,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2718,6 +2731,26 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(a.total - 1, 1) AS BIGINT)
                        AS top_bigram_ppm
             FROM agg a LEFT JOIN bagg b USING (doc_id)
+        """,
+        "oov_rate": """
+            WITH w AS (SELECT doc_id,
+                              UNNEST(string_split(lower(COALESCE(text, '')),
+                                                  ' ')) AS word
+                       FROM documents),
+                 ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+                 v AS (SELECT word FROM (
+                           SELECT word, COUNT(*) AS n FROM ww
+                           GROUP BY word ORDER BY n DESC, word LIMIT 30)),
+                 per AS (SELECT doc_id, COUNT(*) AS n_words,
+                                SUM(CASE WHEN word IN (SELECT word FROM v)
+                                         THEN 0 ELSE 1 END) AS oov
+                         FROM ww GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(1000000 * COALESCE(p.oov, 0)
+                        // GREATEST(COALESCE(p.n_words, 0), 1) AS BIGINT)
+                       AS oov_ppm
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "ngram_docfreq": """
             WITH w AS (SELECT doc_id,

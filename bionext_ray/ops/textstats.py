@@ -788,3 +788,77 @@ def boilerplate_ppm(documents_ds, n: int = 3, min_df: int = 2,
                          "dup_ppm": pa.array(ppm, pa.int64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def corpus_vocab_topk(documents_ds, k: int,
+                      shuffle_partitions: int | None = None) -> list[str]:
+    """Top-k corpus vocabulary by total occurrence count (count desc, word
+    asc — deterministic). Word-count partials combine in-block, cross one
+    word-bucketed exchange, then each reduced block contributes <= k rows
+    to the driver-side head (driver memory is k x blocks over the ALREADY
+    aggregated vocab, never raw occurrences)."""
+    import pyarrow.compute as pc
+
+    from .relational import bucketed_agg
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(
+            pc.utf8_lower(pc.coalesce(b["text"], "")), " "))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"w": words}).group_by(["w"]).aggregate([("w", "count")])
+        return pa.table({"w": g["w"],
+                         "n": pc.cast(g["w_count"], pa.int64())})
+
+    counts = bucketed_agg(
+        documents_ds.map_batches(word_counts, batch_format="pyarrow"),
+        ["w"], [("n", "sum", "n")], shuffle_partitions=shuffle_partitions)
+
+    def local_top(b):
+        return b.sort_values(["n", "w"], ascending=[False, True]).head(k)
+
+    head = counts.map_batches(local_top, batch_format="pandas").to_pandas()
+    return (head.sort_values(["n", "w"], ascending=[False, True])
+            .head(k)["w"].tolist())
+
+
+def oov_stats(documents_ds, vocab: list[str]):
+    """Per-doc out-of-vocabulary rate against a broadcast vocabulary: the
+    cheap quality filter that flags non-target-language / garbled pages
+    once a training vocab is fixed. Tokens are the repo-standard space
+    split of lowercased text with empty tokens dropped; oov_ppm is integer
+    floor division. The vocab ships via ray.put ONCE and each actor builds
+    its Arrow value_set in __init__ — per batch it is one is_in kernel and
+    one bincount, zero per-row Python."""
+    import ray as _ray
+
+    ref = _ray.put(sorted(vocab))
+
+    class OovFn:
+        def __init__(self):
+            self.value_set = pa.array(_ray.get(ref), pa.string())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+            words = pc.split_pattern(
+                pc.utf8_lower(pc.coalesce(batch["text"], "")), " ")
+            flat = pc.list_flatten(words)
+            nonempty = pc.not_equal(flat, "")
+            in_vocab = pc.is_in(flat, value_set=self.value_set)
+            lengths = pc.list_value_length(words).to_numpy().astype("int64")
+            n = len(lengths)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            ne = nonempty.to_numpy(zero_copy_only=False)
+            oov = ne & ~in_vocab.to_numpy(zero_copy_only=False)
+            n_words = np.bincount(doc_idx, weights=ne, minlength=n)
+            n_oov = np.bincount(doc_idx, weights=oov, minlength=n)
+            n_words = n_words.astype(np.int64)
+            n_oov = n_oov.astype(np.int64)
+            ppm = 1_000_000 * n_oov // np.maximum(n_words, 1)
+            return pa.table({"doc_id": batch["doc_id"],
+                             "n_words": pa.array(n_words, pa.int64()),
+                             "oov_ppm": pa.array(ppm, pa.int64())})
+
+    from .relational import actor_pool_size
+    return documents_ds.map_batches(OovFn, batch_format="pyarrow",
+                                    concurrency=actor_pool_size())
