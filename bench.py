@@ -62,6 +62,8 @@ def _run_bench() -> dict:
         "events_funnel", "events_pivot", "cohort_retention",
         "concurrent_events", "orders_diff", "shipping_priority",
         "profile_orders", "events_gapfill", "customer_ranks",
+        "repetition_stats", "host_link_graph", "top_anchor_text",
+        "ngram_docfreq", "boilerplate", "oov_rate",
     ]
 
     per_query = {}
