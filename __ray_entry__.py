@@ -1350,6 +1350,18 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, iters=3, shuffle_partitions=sp)
 
 
+def q_hits(sf_dir: str):
+    """Integer HITS hubs/authorities (2 fixed iterations, max-normalized
+    to 1e6 each half-step, floor division throughout) over the same
+    deterministic lineitem-derived edge table as q_pagerank — the
+    companion link-graph centrality for ranking crawl hosts. Broadcast
+    node-state path under the 5M-node gate; exchange dataflow above it
+    (pinned equal by test)."""
+    from bionext_ray.ops.graph import hits
+    edges, sp = _lineitem_edges(sf_dir)
+    return hits(edges, iters=2, shuffle_partitions=sp)
+
+
 def q_pricing_summary(sf_dir: str):
     from bionext_ray.ops.relational import partial_final_agg
     ds = _read(sf_dir, "lineitem",
@@ -1878,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_docfreq": q_ngram_docfreq,
         "boilerplate": q_boilerplate,
         "oov_rate": q_oov_rate,
+        "hits": q_hits,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2012,6 +2025,43 @@ def oracle_sql() -> dict[str, str]:
                 f" GROUP BY e.dst) c ON nd.v = c.v)")
         return ("WITH " + ", ".join(ctes)
                 + f" SELECT v AS node, pr AS pr_scaled FROM pr{iters}")
+
+    def _hits_sql(iters: int = 2) -> str:
+        """Unroll the integer HITS recurrence (ops/graph.py::hits:
+        hub0 = 1e6; auth = max-normalized in-edge hub sum; hub =
+        max-normalized out-edge auth sum; floor division throughout)."""
+        S = 1_000_000
+        ctes = [
+            "mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m "
+            "FROM lineitem)",
+            "edges AS (SELECT DISTINCT "
+            "l_orderkey % (SELECT m FROM mods) AS src, "
+            "l_partkey % (SELECT m FROM mods) AS dst FROM lineitem)",
+            "nodes AS (SELECT src AS v FROM edges "
+            "UNION SELECT dst AS v FROM edges)",
+            f"h0 AS (SELECT v, CAST({S} AS BIGINT) AS x FROM nodes)",
+        ]
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"a{i}r AS (SELECT e.dst AS v, CAST(SUM(h.x) AS BIGINT)"
+                f" AS s FROM edges e JOIN h{i - 1} h ON e.src = h.v"
+                f" GROUP BY e.dst)")
+            ctes.append(
+                f"a{i} AS (SELECT n.v, CAST(COALESCE(r.s, 0) * {S}"
+                f" // (SELECT MAX(s) FROM a{i}r) AS BIGINT) AS x"
+                f" FROM nodes n LEFT JOIN a{i}r r ON n.v = r.v)")
+            ctes.append(
+                f"h{i}r AS (SELECT e.src AS v, CAST(SUM(a.x) AS BIGINT)"
+                f" AS s FROM edges e JOIN a{i} a ON e.dst = a.v"
+                f" GROUP BY e.src)")
+            ctes.append(
+                f"h{i} AS (SELECT n.v, CAST(COALESCE(r.s, 0) * {S}"
+                f" // (SELECT MAX(s) FROM h{i}r) AS BIGINT) AS x"
+                f" FROM nodes n LEFT JOIN h{i}r r ON n.v = r.v)")
+        return ("WITH " + ", ".join(ctes)
+                + f" SELECT h{iters}.v AS node, h{iters}.x AS hub,"
+                f" a{iters}.x AS auth FROM h{iters}"
+                f" JOIN a{iters} ON h{iters}.v = a{iters}.v")
 
     def _gene_lookup_values() -> str:
         from bionext_ray.kb import default_kb
@@ -2449,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "pagerank": _pagerank_sql(3),
+        "hits": _hits_sql(2),
         "degree_dist": """
             WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
                           FROM lineitem),

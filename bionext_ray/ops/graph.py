@@ -663,3 +663,156 @@ def adjacency_list(edges_ds, src: str = "src", dst: str = "dst",
             .groupby("__bucket")
             .map_groups(build_bucket, batch_format="pandas")
             .select_columns(["node", "out_deg", "neighbors"]))
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits(edges_ds, iters: int = 2, src: str = "src", dst: str = "dst",
+         shuffle_partitions: int | None = None,
+         broadcast_nodes_max: int = 5_000_000):
+    """Integer HITS (hubs & authorities, Kleinberg 1999) over a DISTINCT
+    directed edge table — the companion centrality to ``pagerank`` for a
+    web link graph, where a good HUB links to many good authorities and a
+    good AUTHORITY is linked from many good hubs.
+
+    Recurrence (``iters`` fixed rounds, bit-deterministic for the oracle):
+
+        hub_0(u)  = HITS_SCALE                    for every node
+        a_i(v)    = sum over in-edges  (u, v) of hub_{i-1}(u)
+        a_i       = a_i  * HITS_SCALE // max(a_i)      (max-normalized)
+        hub_i(u)  = sum over out-edges (u, v) of a_i(v)
+        hub_i     = hub_i * HITS_SCALE // max(hub_i)
+
+    HITS_SCALE is 1e6 (not pagerank's 1e9) so every intermediate fits
+    int64: raw sums are <= max_degree * 1e6 (~5e10 at 5e4-node bench
+    scale) and the normalizing product <= 5e16. Nodes with no in-edges
+    get auth 0; no out-edges, hub 0 — both stay in the output.
+
+    Scale shape — identical gating to ``pagerank``: node state (two
+    8-byte vectors) broadcasts while it fits ``broadcast_nodes_max``;
+    each half-iteration is then ONE streaming pass over the edges
+    (ray.put state -> searchsorted lookup -> in-task partial sums) with
+    per-block partials merged on the driver (bounded by |V|). Beyond the
+    threshold the same recurrence runs as bucketed exchanges
+    (state x edge shuffle_join + bucketed sum + node left-join per
+    half-iteration). Returns (node, hub, auth)."""
+    import ray
+    import ray.data
+
+    from bionext_ray.ops.relational import bucketed_agg, shuffle_join
+
+    edges = distinct_edges(edges_ds, src=src, dst=dst,
+                           shuffle_partitions=shuffle_partitions)
+    edges = edges.materialize()          # reused 2x per iteration
+    nodes = node_table(edges, src=src, dst=dst,
+                       shuffle_partitions=shuffle_partitions)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.int64()),
+            "auth": pa.array([], pa.int64())}))
+
+    if n_nodes <= broadcast_nodes_max:
+        return _hits_broadcast(edges, nodes, n_nodes, iters, src, dst)
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({"v": b["v"], "x": pa.array(
+            np.full(b.num_rows, HITS_SCALE, np.int64), pa.int64())})
+
+    hub = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    def half_step(state, key_in, key_out):
+        """One HITS half-iteration as dataflow: edge x state join on
+        ``key_in``, bucketed sum keyed by ``key_out``, max-normalize,
+        left-join back onto the node table (absent keys -> 0)."""
+        per_edge = shuffle_join(edges, state, on=(key_in, "v"),
+                                left_cols=[key_out], right_cols=["x"],
+                                shuffle_partitions=shuffle_partitions)
+        raw = bucketed_agg(per_edge.select_columns([key_out, "x"]),
+                           [key_out], [("x", "sum", "s")],
+                           shuffle_partitions=shuffle_partitions)
+        raw = raw.materialize()          # consumed twice (max + join)
+        m = max(int(raw.max("s") or 0), 1)
+        joined = shuffle_join(nodes, raw, on=("v", key_out),
+                              left_cols=[], right_cols=["s"], how="left",
+                              shuffle_partitions=shuffle_partitions)
+
+        def norm(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            s = pc.coalesce(b["s"], pa.scalar(0, pa.int64()))
+            s = s.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"v": b["v"], "x": pa.array(
+                s * HITS_SCALE // m, pa.int64())})
+
+        return joined.map_batches(norm,
+                                  batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        auth = half_step(hub, src, dst)   # sum hubs over in-edges
+        hub = half_step(auth, dst, src)   # sum auths over out-edges
+
+    def rename(col):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"v": b["v"], col: b["x"]})
+        return fn
+
+    hub_r = hub.map_batches(rename("hub"), batch_format="pyarrow")
+    auth_r = auth.map_batches(rename("auth"), batch_format="pyarrow")
+    out = shuffle_join(hub_r, auth_r, on=("v", "v"), left_cols=["hub"],
+                       right_cols=["auth"],
+                       shuffle_partitions=shuffle_partitions)
+    return out.map_batches(
+        lambda b: pa.table({"node": b["v"], "hub": b["hub"],
+                            "auth": b["auth"]}),
+        batch_format="pyarrow")
+
+
+def _hits_broadcast(edges, nodes, n_nodes, iters, src, dst):
+    """Broadcast-state HITS: hub/auth vectors via ray.put, edges
+    streamed; per-block partials (<= |V| rows) merge on the driver —
+    bounded by the broadcast gate. Same integer recurrence as the
+    exchange path (pinned equal by test)."""
+    import ray
+    import ray.data
+
+    node_arr = np.sort(np.concatenate(
+        [t["v"].to_numpy(zero_copy_only=False)
+         for t in ray.get(nodes.to_arrow_refs()) if t.num_rows]
+        or [np.array([], np.int64)]).astype(np.int64))
+
+    def sweep(vec, key_in, key_out):
+        """raw[key_out] += vec[key_in] for every edge, as one streaming
+        pass with in-task arrow group-sums."""
+        ref = ray.put((node_arr, vec))
+
+        def partial(b: pa.Table) -> pa.Table:
+            narr, x = ray.get(ref)
+            ki = b[key_in].to_numpy(zero_copy_only=False)
+            ko = b[key_out].to_numpy(zero_copy_only=False)
+            vals = x[np.searchsorted(narr, ki)]
+            g = pa.table({"k": pa.array(ko, pa.int64()),
+                          "s": pa.array(vals, pa.int64())}
+                         ).group_by(["k"]).aggregate([("s", "sum")])
+            return pa.table({"k": g["k"], "s": g["s_sum"]})
+
+        raw = np.zeros(n_nodes, np.int64)
+        for t in ray.get(edges.map_batches(
+                partial, batch_format="pyarrow").to_arrow_refs()):
+            if t.num_rows:
+                idx = np.searchsorted(node_arr,
+                                      t["k"].to_numpy(zero_copy_only=False))
+                np.add.at(raw, idx, t["s"].to_numpy(zero_copy_only=False))
+        return raw * HITS_SCALE // max(int(raw.max(initial=0)), 1)
+
+    hub = np.full(n_nodes, HITS_SCALE, np.int64)
+    auth = np.zeros(n_nodes, np.int64)
+    for _ in range(iters):
+        auth = sweep(hub, src, dst)
+        hub = sweep(auth, dst, src)
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(node_arr, pa.int64()),
+        "hub": pa.array(hub, pa.int64()),
+        "auth": pa.array(auth, pa.int64())}))

@@ -234,3 +234,62 @@ def test_adjacency_list_string_nodes(ray_session):
     assert got["node"].tolist() == ["e1", "e2"]
     assert got["neighbors"].tolist() == ["a,b", "c"]
     assert got["out_deg"].tolist() == [2, 1]
+
+
+def _hits_ref(raw, iters=2, S=1_000_000):
+    """Plain-Python HITS reference mirroring the documented integer
+    recurrence."""
+    edges = sorted(set(raw))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {v: S for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        raw_a = {v: 0 for v in nodes}
+        for u, v in edges:
+            raw_a[v] += hub[u]
+        m = max(max(raw_a.values()), 1)
+        auth = {v: raw_a[v] * S // m for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for u, v in edges:
+            raw_h[u] += auth[v]
+        m = max(max(raw_h.values()), 1)
+        hub = {v: raw_h[v] * S // m for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_hits_matches_reference_and_paths_agree(ray_session):
+    from bionext_ray.ops.graph import hits
+    rng = np.random.default_rng(11)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 30, (150, 2))
+           if a != b]
+    want = _hits_ref(raw)
+
+    bc = hits(_edge_ds(raw), iters=2).to_pandas() \
+        .set_index("node").sort_index()
+    ex = hits(_edge_ds(raw), iters=2, broadcast_nodes_max=0).to_pandas() \
+        .set_index("node").sort_index()
+    for got in (bc, ex):
+        assert len(got) == len(want)
+        for v, (h, a) in want.items():
+            assert got.loc[v, "hub"] == h, v
+            assert got.loc[v, "auth"] == a, v
+
+
+def test_hits_sink_and_source_nodes(ray_session):
+    from bionext_ray.ops.graph import hits
+    # 1 -> 2 -> 3: node 1 is pure source (auth 0), 3 pure sink (hub 0)
+    got = hits(_edge_ds([(1, 2), (2, 3)]), iters=2).to_pandas() \
+        .set_index("node").sort_index()
+    assert got.loc[1, "auth"] == 0
+    assert got.loc[3, "hub"] == 0
+    want = _hits_ref([(1, 2), (2, 3)])
+    assert [tuple(r) for r in got[["hub", "auth"]].values] == \
+        [want[1], want[2], want[3]]
+
+
+def test_hits_empty_graph(ray_session):
+    from bionext_ray.ops.graph import hits
+    got = hits(_edge_ds([]), iters=2).to_pandas()
+    # Ray drops the Arrow schema of an all-empty dataset at to_pandas;
+    # the contract here is "no crash, zero rows"
+    assert len(got) == 0
