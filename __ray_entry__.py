@@ -1041,6 +1041,36 @@ def _crawl_pages(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def q_crawl_latest(sf_dir: str):
+    """Crawl recency dedup: a revisit fixture fans every doc out to
+    1 + doc_id%3 captures (monotone ts, distinct fetch ids), then
+    ops.relational.latest_by_key keeps exactly the newest capture per
+    URL — block-local argmax partials (one row per key per block) plus
+    ONE bucketed exchange. THE first step of processing a rolling crawl:
+    dedupe captures to the current snapshot before any content work."""
+    from bionext_ray.ops.relational import latest_by_key
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def captures(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = (d % 3 + 1).astype(np.int64)
+        di = np.repeat(d, reps)
+        nci = np.repeat(nc, reps)
+        r = np.arange(int(reps.sum()), dtype=np.int64) - \
+            np.repeat(np.cumsum(reps) - reps, reps)
+        url = [f"https://site{x % 7}.example/doc/{x}" for x in di]
+        return pa.table({
+            "url": pa.array(url, pa.string()),
+            "ts_s": pa.array(di + 86400 * r, pa.int64()),
+            "n_bytes": pa.array(nci + r, pa.int64()),
+            "fetch_id": pa.array(di * 10 + r, pa.int64()),
+        })
+
+    caps = ds.map_batches(captures, batch_format="pyarrow")
+    return latest_by_key(caps, ["url"], "ts_s", tiebreak=["fetch_id"])
+
+
 def q_oov_rate(sf_dir: str):
     """OOV-rate vocabulary filter: phase 1 builds the top-30 corpus
     vocabulary (count desc, word asc; one bucketed exchange, <= k rows per
@@ -1891,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": q_boilerplate,
         "oov_rate": q_oov_rate,
         "hits": q_hits,
+        "crawl_latest": q_crawl_latest,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2782,6 +2813,23 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(a.total - 1, 1) AS BIGINT)
                        AS top_bigram_ppm
             FROM agg a LEFT JOIN bagg b USING (doc_id)
+        """,
+        "crawl_latest": """
+            WITH c AS (SELECT doc_id, n_chars,
+                              UNNEST(range(0, doc_id % 3 + 1)) AS r
+                       FROM documents),
+                 caps AS (SELECT 'https://site' || (doc_id % 7)
+                                     || '.example/doc/' || doc_id AS url,
+                                 CAST(doc_id + 86400 * r AS BIGINT)
+                                     AS ts_s,
+                                 CAST(n_chars + r AS BIGINT) AS n_bytes,
+                                 CAST(doc_id * 10 + r AS BIGINT)
+                                     AS fetch_id
+                          FROM c),
+                 rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                            ORDER BY ts_s DESC, fetch_id DESC) AS rn
+                        FROM caps)
+            SELECT url, ts_s, n_bytes, fetch_id FROM rk WHERE rn = 1
         """,
         "oov_rate": """
             WITH w AS (SELECT doc_id,

@@ -1772,3 +1772,47 @@ def melt_batch(batch: pa.Table, id_cols: list[str], value_cols: list[str],
         [batch[c].combine_chunks().cast(batch[value_cols[0]].type)
          for c in value_cols])
     return pa.table({**ids, var_name: names, value_name: vals})
+
+
+def latest_by_key(ds, key_cols: list[str], order_col: str,
+                  tiebreak: list[str] | None = None,
+                  shuffle_partitions: int | None = None):
+    """Grouped argmax row-dedup: exactly ONE row per key — the one with
+    the greatest (order_col, *tiebreak) — with every payload column kept.
+    The crawl-recency pattern (keep the newest capture per URL), also the
+    generic CDC "current snapshot" reducer.
+
+    Shape: block-local argmax first (one row per key per block crosses the
+    wire, payload included exactly once), then ONE key-hash bucketed
+    exchange with a vectorized in-bucket sort + drop_duplicates. Ties
+    beyond (order_col, tiebreak) are broken by the full tuple order being
+    total per key on real data; pass an explicit tiebreak (e.g. a fetch
+    id) when order_col alone can collide."""
+    import numpy as np
+    import pandas as pd
+
+    P = max(16, shuffle_partitions or 0)
+    sort_cols = key_cols + [order_col] + list(tiebreak or [])
+    asc = [True] * len(key_cols) + [False] * (1 + len(tiebreak or []))
+
+    def local(b: pa.Table) -> pa.Table:
+        df = (b.to_pandas().sort_values(sort_cols, ascending=asc,
+                                        kind="mergesort")
+              .drop_duplicates(key_cols, keep="first"))
+        bkt = np.zeros(len(df), np.int64)
+        for k in key_cols:
+            bkt = (bkt * 31 + _key_buckets(df[k].to_numpy(), P)) % P
+        df = df.assign(__bucket=bkt)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out_cols = [c for c in ds.schema().names]
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        m = (g.sort_values(sort_cols, ascending=asc, kind="mergesort")
+             .drop_duplicates(key_cols, keep="first"))
+        return pa.Table.from_pandas(m[out_cols], preserve_index=False)
+
+    partial = ds.map_batches(local, batch_format="pyarrow")
+    return (coalesce_for_exchange(partial, P)
+            .groupby("__bucket")
+            .map_groups(merge, batch_format="pandas"))

@@ -672,3 +672,37 @@ def test_global_row_number_empty_input_keeps_output_schema(ray_session):
                     "tag": pa.array(["t"], pa.string())})
     assert global_row_number(nonempty, "v", "i", keep=["tag"],
                              ntile=4).schema().names == sch.names
+
+
+def test_latest_by_key_ties_and_payload(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from bionext_ray.ops.relational import latest_by_key
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+        "ts": pa.array([5, 9, 9, 1, 1], pa.int64()),
+        "fid": pa.array([1, 2, 7, 3, 4], pa.int64()),
+        "payload": pa.array(list("vwxyz"), pa.string()),
+    })
+    # force multi-block input so block-local partials + exchange both run
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = (latest_by_key(ds, ["k"], "ts", tiebreak=["fid"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # a: ts tie at 9 -> fid 7 wins; b: ts tie at 1 -> fid 4 wins
+    assert got[["k", "ts", "fid", "payload"]].values.tolist() == [
+        ["a", 9, 7, "x"], ["b", 1, 4, "z"]]
+
+
+def test_latest_by_key_composite_key(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from bionext_ray.ops.relational import latest_by_key
+    t = pa.table({
+        "k1": pa.array([1, 1, 2], pa.int64()),
+        "k2": pa.array(["x", "x", "x"], pa.string()),
+        "ts": pa.array([1, 2, 1], pa.int64()),
+    })
+    got = latest_by_key(ray.data.from_arrow(t), ["k1", "k2"],
+                        "ts").to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == [
+        (1, "x", 2), (2, "x", 1)]
