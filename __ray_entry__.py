@@ -1123,6 +1123,19 @@ def q_top_anchor_text(sf_dir: str):
     return top_anchor_text(_crawl_pages(sf_dir))
 
 
+def q_cocitation(sf_dir: str):
+    """Related hosts by co-citation over the parsed crawl link graph:
+    for every unordered host pair, how many distinct sources link to
+    both (block-local distinct -> src-bucketed pair expansion with
+    in-task pre-aggregation -> one pair-bucketed sum)."""
+    from bionext_ray.ops.graph import cocitation
+    from bionext_ray.ops.weblinks import links_dataset
+    links = links_dataset(_crawl_pages(sf_dir)).map_batches(
+        lambda b: b.select(["src_host", "dst_host"]),
+        batch_format="pyarrow")
+    return cocitation(links, src="src_host", dst="dst_host")
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking: every doc pair within 2 positions of
     each other in (md5(text), doc_id) order — the classic ER candidate
@@ -1922,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": q_oov_rate,
         "hits": q_hits,
         "crawl_latest": q_crawl_latest,
+        "cocitation": q_cocitation,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2932,6 +2946,24 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY n DESC, anchor_text) AS rn
                        FROM c)
             SELECT dst_host, top_anchor, n FROM r WHERE rn = 1
+        """,
+        "cocitation": """
+            WITH j AS (SELECT doc_id,
+                              UNNEST(range(1, doc_id % 3 + 2)) AS j
+                       FROM documents),
+                 e AS (SELECT DISTINCT
+                              'site' || (doc_id % 7) || '.example'
+                                  AS src_host,
+                              'site' || (CASE WHEN j % 2 = 0
+                                              THEN (doc_id + j) % 7
+                                              ELSE doc_id % 7 END)
+                                  || '.example' AS dst_host
+                       FROM j)
+            SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM e a JOIN e b ON a.src_host = b.src_host
+                             AND a.dst_host < b.dst_host
+            GROUP BY 1, 2
         """,
         "sorted_neighborhood": """
             WITH r AS (SELECT doc_id, md5(COALESCE(text, '')) AS h

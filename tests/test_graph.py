@@ -293,3 +293,35 @@ def test_hits_empty_graph(ray_session):
     # Ray drops the Arrow schema of an all-empty dataset at to_pandas;
     # the contract here is "no crash, zero rows"
     assert len(got) == 0
+
+
+def test_cocitation_matches_bruteforce(ray_session):
+    from bionext_ray.ops.graph import cocitation
+    rng = np.random.default_rng(5)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 12, (80, 2))]
+    edges = sorted(set(raw))
+    want = {}
+    by_src = {}
+    for s, d in edges:
+        by_src.setdefault(s, set()).add(d)
+    for s, ds_ in by_src.items():
+        for a, b in combinations(sorted(ds_), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = cocitation(_edge_ds(raw).repartition(3)).to_pandas()
+    got_map = {(r.host_a, r.host_b): r.n_common
+               for r in got.itertuples(index=False)}
+    assert got_map == want
+
+
+def test_cocitation_degree_cap_and_min_count(ray_session):
+    from bionext_ray.ops.graph import cocitation
+    # src 1 links to 4 targets (capped out at max_out_degree=3);
+    # srcs 2 and 3 both link to {7, 8}
+    raw = [(1, 4), (1, 5), (1, 6), (1, 7),
+           (2, 7), (2, 8), (3, 7), (3, 8)]
+    got = cocitation(_edge_ds(raw), max_out_degree=3).to_pandas()
+    assert {(r.host_a, r.host_b): r.n_common
+            for r in got.itertuples(index=False)} == {(7, 8): 2}
+    got2 = cocitation(_edge_ds(raw), min_count=2).to_pandas()
+    assert {(r.host_a, r.host_b): r.n_common
+            for r in got2.itertuples(index=False)} == {(7, 8): 2}
