@@ -1041,6 +1041,17 @@ def _crawl_pages(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def q_corpus_curation(sf_dir: str):
+    """Flagship curation verdict: per doc a reject-reason bitmask
+    (1 exact-duplicate, 2 too-short <20 tokens, 4 repetitive
+    dup-word>60%, 8 boilerplate dup-trigram>80%, 16 OOV>20% vs the
+    top-25 corpus vocab) and keep = no bits — the composed keep/drop
+    decision a training-data pipeline makes before tokenization, built
+    entirely from this repo's oracle-gated signal operators."""
+    from bionext_ray.ops.curation import curate_corpus
+    return curate_corpus(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_crawl_latest(sf_dir: str):
     """Crawl recency dedup: a revisit fixture fans every doc out to
     1 + doc_id%3 captures (monotone ts, distinct fetch ids), then
@@ -1936,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "crawl_latest": q_crawl_latest,
         "cocitation": q_cocitation,
+        "corpus_curation": q_corpus_curation,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2827,6 +2839,79 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(a.total - 1, 1) AS BIGINT)
                        AS top_bigram_ppm
             FROM agg a LEFT JOIN bagg b USING (doc_id)
+        """,
+        "corpus_curation": """
+            WITH base AS (SELECT doc_id, md5(COALESCE(text, '')) AS h,
+                                 length(regexp_extract_all(
+                                     COALESCE(text, ''),
+                                     '[A-Za-z0-9_]+')) AS n_tokens
+                          FROM documents),
+                 words AS (SELECT doc_id,
+                                  string_split(lower(COALESCE(text, '')),
+                                               ' ') AS l
+                           FROM documents),
+                 wc AS (SELECT doc_id, w, COUNT(*) AS c
+                        FROM (SELECT doc_id, UNNEST(l) AS w FROM words)
+                        GROUP BY 1, 2),
+                 rep AS (SELECT doc_id,
+                                1000000 * (SUM(c) - COUNT(*)) // SUM(c)
+                                    AS dwp
+                         FROM wc GROUP BY doc_id),
+                 g AS (SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i + 1] || ' '
+                                       || l[i + 2])) AS gram
+                       FROM words WHERE len(l) >= 3),
+                 cnt AS (SELECT doc_id, gram, COUNT(*) AS occ
+                         FROM g GROUP BY 1, 2),
+                 dfq AS (SELECT gram FROM cnt
+                         GROUP BY gram HAVING COUNT(*) >= 2),
+                 tot AS (SELECT doc_id, SUM(occ) AS t
+                         FROM cnt GROUP BY doc_id),
+                 dup AS (SELECT c.doc_id, SUM(c.occ) AS d FROM cnt c
+                         JOIN dfq USING (gram) GROUP BY c.doc_id),
+                 bp AS (SELECT d.doc_id,
+                               1000000 * COALESCE(p.d, 0)
+                                   // GREATEST(COALESCE(t.t, 0), 1) AS ppm
+                        FROM documents d LEFT JOIN tot t USING (doc_id)
+                                         LEFT JOIN dup p USING (doc_id)),
+                 ww AS (SELECT doc_id, w AS word
+                        FROM (SELECT doc_id, UNNEST(l) AS w FROM words)
+                        WHERE w <> ''),
+                 v AS (SELECT word FROM (
+                           SELECT word, COUNT(*) AS n FROM ww
+                           GROUP BY word ORDER BY n DESC, word LIMIT 25)),
+                 per AS (SELECT doc_id, COUNT(*) AS nw,
+                                SUM(CASE WHEN word IN
+                                         (SELECT word FROM v)
+                                         THEN 0 ELSE 1 END) AS oov
+                         FROM ww GROUP BY doc_id),
+                 ov AS (SELECT d.doc_id,
+                               1000000 * COALESCE(p.oov, 0)
+                                   // GREATEST(COALESCE(p.nw, 0), 1) AS ppm
+                        FROM documents d LEFT JOIN per p USING (doc_id)),
+                 keeper AS (SELECT h, MIN(doc_id) AS k
+                            FROM base GROUP BY h),
+                 masked AS (SELECT b.doc_id,
+                                   (CASE WHEN b.doc_id <> kp.k
+                                         THEN 1 ELSE 0 END)
+                                 + (CASE WHEN b.n_tokens < 20
+                                         THEN 2 ELSE 0 END)
+                                 + (CASE WHEN r.dwp > 600000
+                                         THEN 4 ELSE 0 END)
+                                 + (CASE WHEN bp.ppm > 800000
+                                         THEN 8 ELSE 0 END)
+                                 + (CASE WHEN ov.ppm > 200000
+                                         THEN 16 ELSE 0 END) AS reasons
+                            FROM base b
+                            JOIN keeper kp USING (h)
+                            JOIN rep r USING (doc_id)
+                            JOIN bp USING (doc_id)
+                            JOIN ov USING (doc_id))
+            SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+                   CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep
+            FROM masked
         """,
         "crawl_latest": """
             WITH c AS (SELECT doc_id, n_chars,

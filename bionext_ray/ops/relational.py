@@ -620,8 +620,29 @@ def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
     assert not (set(left_cols) & set(right_cols))
     P = max(16, shuffle_partitions or 0)
 
-    lsch = left_ds.schema().base_schema
-    rsch = right_ds.schema().base_schema
+    # a side can be PROVABLY EMPTY (zero blocks, e.g. a filtered-out
+    # bucketed_agg): Ray reports schema() None. Empty left -> empty join
+    # either way; empty right -> inner is empty, left keeps every left row
+    # with null right columns (typed pa.null() — the only honest type).
+    _ls, _rs = left_ds.schema(), right_ds.schema()
+    if _ls is None:
+        return left_ds
+    lsch = _ls.base_schema
+    if _rs is None:
+        def pad(b: pa.Table) -> pa.Table:
+            cols = {k: b[k] for k in lkeys}
+            for c in left_cols:
+                cols[c] = b[c]
+            for c in right_cols:
+                cols[c] = pa.nulls(b.num_rows)
+            return pa.table(cols)
+
+        padded = (left_ds.select_columns(lkeys + left_cols)
+                  .map_batches(pad, batch_format="pyarrow"))
+        if how == "left":
+            return padded
+        return padded.limit(0)
+    rsch = _rs.base_schema
     key_ts = [lsch.field(k).type for k in lkeys]
     l_t = {c: lsch.field(c).type for c in left_cols}
     r_t = {c: rsch.field(c).type for c in right_cols}

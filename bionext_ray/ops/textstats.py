@@ -814,9 +814,15 @@ def corpus_vocab_topk(documents_ds, k: int,
         ["w"], [("n", "sum", "n")], shuffle_partitions=shuffle_partitions)
 
     def local_top(b):
+        import pandas as pd
+        if len(b) == 0 or "n" not in b.columns:   # token-free corpus edge
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
         return b.sort_values(["n", "w"], ascending=[False, True]).head(k)
 
     head = counts.map_batches(local_top, batch_format="pandas").to_pandas()
+    if len(head) == 0:
+        return []
     return (head.sort_values(["n", "w"], ascending=[False, True])
             .head(k)["w"].tolist())
 
