@@ -63,7 +63,8 @@ def _run_bench() -> dict:
         "concurrent_events", "orders_diff", "shipping_priority",
         "profile_orders", "events_gapfill", "customer_ranks",
         "repetition_stats", "host_link_graph", "top_anchor_text",
-        "ngram_docfreq", "boilerplate", "oov_rate",
+        "ngram_docfreq", "boilerplate", "oov_rate", "hits",
+        "crawl_latest", "cocitation", "corpus_curation",
     ]
 
     per_query = {}
