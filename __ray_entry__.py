@@ -1924,13 +1924,15 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS sweep records roughly the
-    # first 50 entries.  Lead with the 5 flagship kg_* stages, then every
-    # query that has never (or not recently) received a driver row —
-    # the 21 r3-new operators plus the 18 r02-green veterans absent from
-    # CORRECTNESS_r03.json — then 6 rotation slots for queries touched
-    # this round (fingerprint rewrite, triangles optimization, ...).
-    # Long-green r03 veterans sit at the tail and rotate forward in
-    # future rounds.
+    # first 50 entries. Window budget (5 kg + 10 round-4-new + 21
+    # never-driver-checked + 4 rotation slots = 40, then the r02-green
+    # veterans fill the remaining ~10): flagship kg_* first, then
+    # everything new this round, then the 21 r3-new operators that have
+    # never received a driver row, then the queries whose implementation
+    # was touched this round (fingerprint revert, triangles broadcast
+    # path, pagerank/dedup via shared exchanges). r02 veterans follow
+    # (the first ~10 land in the window and rotate forward across
+    # rounds); long-green r03 veterans sit at the tail.
     return {
         "kg_extract_text": q_kg_extract_text,
         "kg_mentions": q_kg_mentions,
@@ -1970,6 +1972,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "distinct_users_by_type": q_distinct_users_by_type,
         "top_tokens": q_top_tokens,
+        # -- rotation slots: r03-green but touched this round --
+        "fingerprint": q_fingerprint,
+        "triangles": q_triangles,
+        "pagerank": q_pagerank,
+        "dedup_exact": q_dedup_exact,
         # -- r02-green veterans absent from CORRECTNESS_r03 --
         "top_customers": q_top_customers,
         "orders_by_nation": q_orders_by_nation,
@@ -1989,13 +1996,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
-        # -- rotation slots: r03-green but touched this round --
-        "fingerprint": q_fingerprint,
-        "triangles": q_triangles,
+        # -- r03-green, below here queries rotate across rounds --
         "simhash": q_simhash,
         "simsearch_topk": q_simsearch_topk,
-        "pagerank": q_pagerank,
-        "dedup_exact": q_dedup_exact,
         # -- long-green r03 veterans (outside the driver window) --
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,

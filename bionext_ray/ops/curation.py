@@ -44,34 +44,27 @@ def curate_corpus(documents_ds, min_tokens: int = 20,
     stream): the signal branches each scan it independently — at 100 TB
     that is three streaming passes over the parquet source, never a
     driver-side materialization."""
-    import pyarrow.compute as pc
+    import pyarrow.compute as pc  # noqa: F401 (used in closures below)
 
     from .dedup import _text_md5, exact_dedup
     from .relational import shuffle_join
     from .textstats import boilerplate_ppm, corpus_vocab_topk, oov_stats
 
     def base_signals(b: pa.Table) -> pa.Table:
+        # delegate the dup-word kernel to the oracle-gated
+        # repetition_stats_batch (ONE shared implementation of the Gopher
+        # fraction) — both run batch-local in the same task
+        from .textstats import repetition_stats_batch
         t = _text_md5(b, "text")
         text = pc.coalesce(b["text"], "")
         n_tokens = pc.cast(pc.count_substring_regex(
-            text, r"[A-Za-z0-9_]+"), pa.int64()).to_numpy()
-        words = pc.split_pattern(pc.utf8_lower(text), " ")
-        lengths = pc.list_value_length(words).to_numpy().astype(np.int64)
-        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
-        import pandas as pd
-        codes, uniq = pd.factorize(flat)
-        V = np.int64(max(len(uniq), 1))
-        n = len(lengths)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        ukey = np.unique(doc_idx * V + codes.astype(np.int64))
-        n_distinct = np.bincount(ukey // V, minlength=n)
-        dup_word_ppm = (1_000_000 * (lengths - n_distinct)
-                        // np.maximum(lengths, 1))
+            text, r"[A-Za-z0-9_]+"), pa.int64())
+        rep = repetition_stats_batch(b)
         return pa.table({
             "doc_id": b["doc_id"],
             "text_hash": t["text_hash"],
-            "n_tokens": pa.array(n_tokens, pa.int64()),
-            "dup_word_ppm": pa.array(dup_word_ppm, pa.int64()),
+            "n_tokens": n_tokens,
+            "dup_word_ppm": rep["dup_word_ppm"],
         })
 
     base = documents_ds.map_batches(base_signals, batch_format="pyarrow")

@@ -168,11 +168,15 @@ def _triangle_count_broadcast(und):
     if total_w == 0:
         return ray.data.from_arrow(pa.table(
             {"n_triangles": pa.array([0], pa.int64())}))
-    # ~1M wedges per task: bounded temporaries, enough tasks to fill cores
-    n_tasks = max(1, min(4 * int(ray.cluster_resources().get("CPU", 8)),
-                         total_w // 1_000_000 + 1))
+    # ~1M wedges per SLICE so per-slice temporaries stay bounded (the
+    # count_slice loop walks its batch's slices one at a time) — the
+    # slice count tracks the wedge total, never capped; only the TASK
+    # count (repartition below) is capped at 4x CPUs for scheduling
+    n_slices = total_w // 1_000_000 + 1
     bounds = np.unique(np.searchsorted(
-        cum, np.linspace(0, total_w, n_tasks + 1)))
+        cum, np.linspace(0, total_w, n_slices + 1)))
+    n_tasks = max(1, min(4 * int(ray.cluster_resources().get("CPU", 8)),
+                         len(bounds) - 1))
     csr_ref = ray.put((b_s, offsets, ekeys, int(n)))
 
     def count_slice(batch: pa.Table) -> pa.Table:
@@ -205,7 +209,7 @@ def _triangle_count_broadcast(und):
     slices = ray.data.from_arrow(pa.table({
         "lo": pa.array(bounds[:-1], pa.int64()),
         "hi": pa.array(bounds[1:], pa.int64())}))
-    parts = slices.repartition(len(bounds) - 1).map_batches(
+    parts = slices.repartition(n_tasks).map_batches(
         count_slice, batch_format="pyarrow")
     total = sum(r["n"] for r in parts.take_all())
     return ray.data.from_arrow(pa.table(
@@ -702,12 +706,14 @@ def hits(edges_ds, iters: int = 2, src: str = "src", dst: str = "dst",
 
     from bionext_ray.ops.relational import bucketed_agg, shuffle_join
 
+    assert iters >= 1, "hits needs at least one iteration"
     edges = distinct_edges(edges_ds, src=src, dst=dst,
                            shuffle_partitions=shuffle_partitions)
     edges = edges.materialize()          # reused 2x per iteration
     nodes = node_table(edges, src=src, dst=dst,
                        shuffle_partitions=shuffle_partitions)
-    n_nodes = nodes.count()
+    nodes = nodes.materialize()          # reused by count, init, and the
+    n_nodes = nodes.count()              # left-join of every half-step
     if n_nodes == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),

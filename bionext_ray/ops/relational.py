@@ -622,8 +622,13 @@ def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
 
     # a side can be PROVABLY EMPTY (zero blocks, e.g. a filtered-out
     # bucketed_agg): Ray reports schema() None. Empty left -> empty join
-    # either way; empty right -> inner is empty, left keeps every left row
-    # with null right columns (typed pa.null() — the only honest type).
+    # either way (left_ds returned verbatim — it has no schema to dress
+    # up); empty right -> inner is empty, left keeps every left row with
+    # null right columns. DOCUMENTED LIMITATION: on these paths the right
+    # columns are typed pa.null() (their real types are unknowable from a
+    # zero-block dataset), unlike a normal empty join result which carries
+    # the right side's true types — consumers casting right columns must
+    # tolerate null-typed input (numpy coerces None -> nan).
     _ls, _rs = left_ds.schema(), right_ds.schema()
     if _ls is None:
         return left_ds
@@ -1036,9 +1041,17 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
             # string or float measure must not be cast to int64).
             from ray.data.aggregate import Max, Min, Sum
             aggs = {"sum": Sum, "min": Min, "max": Max}
-            sch = dict(zip(cur.schema().names, cur.schema().types))
-            row = cur.aggregate(*[aggs[f](a, alias_name=a)
-                                  for _, f, a in respec]) or {}
+            lsch = cur.schema()
+            if lsch is None:
+                # provably-empty input: SQL's grand-total grouping set
+                # still emits ONE all-null row; level-1 types are unknown
+                # so the aggregates fall back to int64 (count-like)
+                sch = {a: pa.int64() for _, _, a in respec}
+                row = {}
+            else:
+                sch = dict(zip(lsch.names, lsch.types))
+                row = cur.aggregate(*[aggs[f](a, alias_name=a)
+                                      for _, f, a in respec]) or {}
             cur = ray.data.from_arrow(pa.table(
                 {a: pa.array([row.get(a)], sch[a])
                  for _, _, a in respec}))
@@ -1091,10 +1104,16 @@ def cube_agg(ds, keys: list[str], specs: list[tuple[str, str, str]],
             else:
                 from ray.data.aggregate import Max, Min, Sum
                 aggs = {"sum": Sum, "min": Min, "max": Max}
-                sch = dict(zip(deepest.schema().names,
-                               deepest.schema().types))
-                row = deepest.aggregate(*[aggs[f](a, alias_name=a)
-                                          for _, f, a in respec]) or {}
+                dsch = deepest.schema()
+                if dsch is None:           # provably-empty input (see
+                    sch = {a: pa.int64()   # rollup_agg grand total)
+                           for _, _, a in respec}
+                    row = {}
+                else:
+                    sch = dict(zip(dsch.names, dsch.types))
+                    row = deepest.aggregate(
+                        *[aggs[f](a, alias_name=a)
+                          for _, f, a in respec]) or {}
                 lv = ray.data.from_arrow(pa.table(
                     {a: pa.array([row.get(a)], sch[a])
                      for _, _, a in respec}))

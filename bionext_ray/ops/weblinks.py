@@ -34,20 +34,6 @@ from html.parser import HTMLParser
 
 import pyarrow as pa
 
-_LINKS_SCHEMA = pa.schema([
-    ("src_url", pa.string()),
-    ("href", pa.string()),
-    ("anchor_text", pa.string()),
-])
-
-_NORM_SCHEMA = pa.schema([
-    ("src_host", pa.string()),
-    ("dst_host", pa.string()),
-    ("dst_url", pa.string()),
-    ("anchor_text", pa.string()),
-])
-
-
 class _AnchorCollector(HTMLParser):
     """Collect (href, anchor text) for every <a> element. A stack keeps
     the (illegal but common) nested-anchor case from crashing the parse;
@@ -136,7 +122,13 @@ def normalize_links_batch(batch: pa.Table) -> pa.Table:
             continue
         if parts.scheme not in ("http", "https") or not parts.hostname:
             continue
-        netloc = parts.netloc.lower()
+        # case-fold host(:port) only — userinfo is case-sensitive per
+        # RFC 3986 and must survive verbatim
+        if "@" in parts.netloc:
+            ui, hostport = parts.netloc.rsplit("@", 1)
+            netloc = ui + "@" + hostport.lower()
+        else:
+            netloc = parts.netloc.lower()
         o_sh.append(sh)
         o_dh.append(parts.hostname)
         o_du.append(urlunsplit(
@@ -204,11 +196,9 @@ def top_anchor_text(pages_ds, shuffle_partitions: int | None = None,
     P = max(16, shuffle_partitions or 0)
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        import numpy as np
-        import pandas as _pd
-        h = _pd.util.hash_array(
-            b["dst_host"].to_numpy(zero_copy_only=False)) % P
-        return b.append_column("__b", pa.array(h.astype(np.int64)))
+        from .relational import _key_buckets
+        h = _key_buckets(b["dst_host"].to_numpy(zero_copy_only=False), P)
+        return b.append_column("__b", pa.array(h, pa.int64()))
 
     def best(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["dst_host", "n", "anchor_text"],

@@ -325,3 +325,18 @@ def test_cocitation_degree_cap_and_min_count(ray_session):
     got2 = cocitation(_edge_ds(raw), min_count=2).to_pandas()
     assert {(r.host_a, r.host_b): r.n_common
             for r in got2.itertuples(index=False)} == {(7, 8): 2}
+
+
+def test_rollup_cube_grand_total_on_empty_input(ray_session):
+    """A provably-empty input (zero blocks after a drop-everything filter)
+    must still emit SQL's grand-total grouping-set row, not crash."""
+    import pyarrow.compute as pc
+    from bionext_ray.ops.relational import cube_agg, rollup_agg
+    ds = _ds({"a": pa.array(["x"], pa.string()),
+              "v": pa.array([1], pa.int64())})
+    empty = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["v"], -1)), batch_format="pyarrow")
+    r = rollup_agg(empty, ["a"], [("v", "sum", "sv")]).to_pandas()
+    assert len(r) == 1 and r["sv"].isna().all()
+    c = cube_agg(empty, ["a"], [("v", "sum", "sv")]).to_pandas()
+    assert len(c) == 1 and c["sv"].isna().all()
