@@ -1041,6 +1041,37 @@ def _crawl_pages(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def q_url_stats(sf_dir: str):
+    """URL structural features (crawl-frontier scheduling keys): the
+    engine PARSES synthesized URLs — host with subdomain (case-folded for
+    the doc_id%5==0 uppercase variants), TLD suffix, path depth, query
+    param count — while the oracle recomputes the intended values from
+    the doc_id arithmetic."""
+    from bionext_ray.ops.weblinks import url_stats_batch
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        urls = []
+        for d in b["doc_id"].to_pylist():
+            host = f"sub{d % 3}.site{d % 7}.example"
+            if d % 5 == 0:
+                host = host.upper()
+            path = "/".join(f"p{i}" for i in range(d % 4))
+            q = "&".join(f"a{i}={i}" for i in range(d % 3))
+            urls.append(f"https://{host}/{path}" + (f"?{q}" if q else ""))
+        return pa.table({"doc_id": b["doc_id"],
+                         "url": pa.array(urls, pa.string())})
+
+    def stats(b: pa.Table) -> pa.Table:
+        s = url_stats_batch(b, "url")
+        return pa.table({"doc_id": b["doc_id"], "host": s["host"],
+                         "tld": s["tld"], "path_depth": s["path_depth"],
+                         "n_params": s["n_params"]})
+
+    return ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        stats, batch_format="pyarrow")
+
+
 def q_corpus_curation(sf_dir: str):
     """Flagship curation verdict: per doc a reject-reason bitmask
     (1 exact-duplicate, 2 too-short <20 tokens, 4 repetitive
@@ -1950,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_latest": q_crawl_latest,
         "cocitation": q_cocitation,
         "corpus_curation": q_corpus_curation,
+        "url_stats": q_url_stats,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2842,6 +2874,15 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(a.total - 1, 1) AS BIGINT)
                        AS top_bigram_ppm
             FROM agg a LEFT JOIN bagg b USING (doc_id)
+        """,
+        "url_stats": """
+            SELECT doc_id,
+                   'sub' || (doc_id % 3) || '.site' || (doc_id % 7)
+                       || '.example' AS host,
+                   'example' AS tld,
+                   CAST(doc_id % 4 AS BIGINT) AS path_depth,
+                   CAST(doc_id % 3 AS BIGINT) AS n_params
+            FROM documents
         """,
         "corpus_curation": """
             WITH base AS (SELECT doc_id, md5(COALESCE(text, '')) AS h,

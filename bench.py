@@ -64,7 +64,7 @@ def _run_bench() -> dict:
         "profile_orders", "events_gapfill", "customer_ranks",
         "repetition_stats", "host_link_graph", "top_anchor_text",
         "ngram_docfreq", "boilerplate", "oov_rate", "hits",
-        "crawl_latest", "cocitation", "corpus_curation",
+        "crawl_latest", "cocitation", "corpus_curation", "url_stats",
     ]
 
     per_query = {}

@@ -209,3 +209,39 @@ def top_anchor_text(pages_ds, shuffle_partitions: int | None = None,
 
     return (pairs.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__b").map_groups(best, batch_format="pandas"))
+
+
+def url_stats_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Per-URL structural features — the crawl-frontier/sitemap signals
+    (host, registrable-suffix proxy, path depth, query-param count) a
+    scheduler or URL-dedup stage keys on. Real RFC-3986 parsing per row
+    (urlsplit, same per-doc-loop convention as the link normalizer);
+    un-parseable or host-less URLs emit empty host/tld and zero counts
+    rather than killing the block."""
+    from urllib.parse import urlsplit
+
+    urls = batch[url_col].to_pylist()
+    o_host, o_tld, o_depth, o_params = [], [], [], []
+    for u in urls:
+        host, tld, depth, nparams = "", "", 0, 0
+        try:
+            parts = urlsplit(u or "")
+        except ValueError:
+            parts = None
+        if parts is not None and parts.hostname:
+            host = parts.hostname
+            tld = host.rsplit(".", 1)[-1] if "." in host else host
+            depth = sum(1 for s in parts.path.split("/") if s)
+            if parts.query:
+                nparams = sum(1 for p in parts.query.split("&") if p)
+        o_host.append(host)
+        o_tld.append(tld)
+        o_depth.append(depth)
+        o_params.append(nparams)
+    return pa.table({
+        url_col: batch[url_col],
+        "host": pa.array(o_host, pa.string()),
+        "tld": pa.array(o_tld, pa.string()),
+        "path_depth": pa.array(o_depth, pa.int64()),
+        "n_params": pa.array(o_params, pa.int64()),
+    })

@@ -127,3 +127,22 @@ def test_links_dataset_streams_schema(ray_session):
     t = links_dataset(pages).to_pandas()
     assert list(t.columns) == ["src_host", "dst_host", "dst_url",
                                "anchor_text"]
+
+
+def test_url_stats_parsing():
+    from bionext_ray.ops.weblinks import url_stats_batch
+    t = url_stats_batch(pa.table({"url": pa.array([
+        "https://Sub.EXAMPLE.org/a/b/c?x=1&y=2",
+        "https://h.example/",
+        "https://localhost",
+        "not a url",
+        None,
+    ], pa.string())}))
+    rows = t.to_pylist()
+    assert rows[0] == {"url": "https://Sub.EXAMPLE.org/a/b/c?x=1&y=2",
+                       "host": "sub.example.org", "tld": "org",
+                       "path_depth": 3, "n_params": 2}
+    assert rows[1]["path_depth"] == 0 and rows[1]["n_params"] == 0
+    assert rows[2]["tld"] == "localhost"   # no dot -> whole host
+    assert rows[3]["host"] == "" and rows[3]["path_depth"] == 0
+    assert rows[4]["host"] == ""
