@@ -1447,6 +1447,17 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=2, shuffle_partitions=sp)
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """Support-weighted integer PageRank (3 iterations): edge weight =
+    pair multiplicity in the lineitem derivation (the evidence counts the
+    DISTINCT-edge pagerank discards); contribution along (u,v) is
+    pr(u)*w//W(u). Same broadcast/exchange gating and unrolled-CTE
+    oracle discipline as q_pagerank."""
+    from bionext_ray.ops.graph import pagerank_weighted
+    edges, sp = _lineitem_edges(sf_dir)
+    return pagerank_weighted(edges, iters=3, shuffle_partitions=sp)
+
+
 def q_pricing_summary(sf_dir: str):
     from bionext_ray.ops.relational import partial_final_agg
     ds = _read(sf_dir, "lineitem",
@@ -1982,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation": q_cocitation,
         "corpus_curation": q_corpus_curation,
         "url_stats": q_url_stats,
+        "pagerank_weighted": q_pagerank_weighted,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2154,6 +2166,37 @@ def oracle_sql() -> dict[str, str]:
                 + f" SELECT h{iters}.v AS node, h{iters}.x AS hub,"
                 f" a{iters}.x AS auth FROM h{iters}"
                 f" JOIN a{iters} ON h{iters}.v = a{iters}.v")
+
+    def _pagerank_weighted_sql(iters: int = 3) -> str:
+        """Unroll the weighted PageRank recurrence
+        (ops/graph.py::pagerank_weighted: contribution = pr*w//W, W = total
+        out-weight, floor division throughout)."""
+        base = "(1000000000 // (SELECT n FROM params))"
+        ctes = [
+            "mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m "
+            "FROM lineitem)",
+            "edges AS (SELECT l_orderkey % (SELECT m FROM mods) AS src, "
+            "l_partkey % (SELECT m FROM mods) AS dst, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2)",
+            "nodes AS (SELECT src AS v FROM edges "
+            "UNION SELECT dst AS v FROM edges)",
+            "wd AS (SELECT src AS v, CAST(SUM(w) AS BIGINT) AS tw "
+            "FROM edges GROUP BY src)",
+            "params AS (SELECT (SELECT COUNT(*) FROM nodes) AS n)",
+            f"pr0 AS (SELECT v, CAST({base} AS BIGINT) AS pr FROM nodes)",
+        ]
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"pr{i} AS (SELECT nd.v, CAST((15 * {base}) // 100"
+                f" + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS pr"
+                f" FROM nodes nd LEFT JOIN ("
+                f"SELECT e.dst AS v, CAST(SUM(p.pr * e.w // d.tw)"
+                f" AS BIGINT) AS contrib FROM edges e"
+                f" JOIN pr{i - 1} p ON e.src = p.v"
+                f" JOIN wd d ON e.src = d.v"
+                f" GROUP BY e.dst) c ON nd.v = c.v)")
+        return ("WITH " + ", ".join(ctes)
+                + f" SELECT v AS node, pr AS pr_scaled FROM pr{iters}")
 
     def _gene_lookup_values() -> str:
         from bionext_ray.kb import default_kb
@@ -2591,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "pagerank": _pagerank_sql(3),
+        "pagerank_weighted": _pagerank_weighted_sql(3),
         "hits": _hits_sql(2),
         "degree_dist": """
             WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m

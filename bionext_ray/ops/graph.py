@@ -906,3 +906,160 @@ def cocitation(edges_ds, src: str = "src", dst: str = "dst",
             lambda b: b.filter(pc.greater_equal(b["n_common"], min_count)),
             batch_format="pyarrow")
     return agg
+
+
+def weighted_edges(edges_ds, src: str = "src", dst: str = "dst",
+                   weight_col: str | None = None,
+                   shuffle_partitions: int | None = None):
+    """(src, dst, w) with one row per distinct pair: w = the SUM of
+    ``weight_col`` (or the pair's multiplicity when None — parallel edges
+    become weight, the information plain distinct_edges throws away).
+    Block-local combine + one bucketed exchange."""
+    from bionext_ray.ops.relational import bucketed_agg
+
+    def one(b: pa.Table) -> pa.Table:
+        cols = {src: pa.compute.cast(b[src], pa.int64()),
+                dst: pa.compute.cast(b[dst], pa.int64())}
+        if weight_col is None:
+            cols["w"] = pa.array(np.ones(b.num_rows, np.int64), pa.int64())
+        else:
+            cols["w"] = pa.compute.cast(b[weight_col], pa.int64())
+        return pa.table(cols)
+
+    return bucketed_agg(edges_ds.map_batches(one, batch_format="pyarrow"),
+                        [src, dst], [("w", "sum", "w")],
+                        shuffle_partitions=shuffle_partitions)
+
+
+def pagerank_weighted(edges_ds, iters: int = 3, damping_pct: int = 85,
+                      weight_col: str | None = None,
+                      shuffle_partitions: int | None = None,
+                      broadcast_nodes_max: int = 5_000_000):
+    """Weighted integer PageRank: contribution along (u, v) is
+    pr(u) * w(u, v) // W(u) with W(u) = u's total out-weight — the
+    support-weighted centrality a KG runs over canonical triples, where
+    ``pagerank``'s DISTINCT edge table would discard evidence counts.
+    With all weights 1 this reduces bit-for-bit to the unweighted
+    recurrence ((pr * 1) // deg == pr // deg).
+
+    Same integer contract (SCALE 1e9, floor division everywhere; pr*w
+    must stay under 2^63 — weights are supports/multiplicities, not
+    large magnitudes) and the same broadcast/exchange gating as
+    ``pagerank``; weights make the per-edge rate edge-local, so the
+    broadcast path computes (pr[src] * w) // W[src] inside each streaming
+    batch instead of pre-dividing per node. Returns (node, pr_scaled)."""
+    import ray
+    import ray.data
+
+    from bionext_ray.ops.relational import bucketed_agg, shuffle_join
+
+    edges = weighted_edges(edges_ds, weight_col=weight_col,
+                           shuffle_partitions=shuffle_partitions)
+    edges = edges.materialize()
+    nodes = node_table(edges, shuffle_partitions=shuffle_partitions)
+    nodes = nodes.materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "pr_scaled": pa.array([], pa.int64())}))
+    base = SCALE // n_nodes
+    base_term = ((100 - damping_pct) * base) // 100
+
+    # out-weight per source (the weighted out-degree)
+    wd = bucketed_agg(edges.select_columns(["src", "w"]),
+                      ["src"], [("w", "sum", "W")],
+                      shuffle_partitions=shuffle_partitions)
+
+    if n_nodes <= broadcast_nodes_max:
+        node_arr = np.sort(np.concatenate(
+            [t["v"].to_numpy(zero_copy_only=False)
+             for t in ray.get(nodes.to_arrow_refs()) if t.num_rows]
+            or [np.array([], np.int64)]).astype(np.int64))
+        W_arr = np.zeros(n_nodes, np.int64)
+        for t in ray.get(wd.to_arrow_refs()):
+            if t.num_rows:
+                idx = np.searchsorted(
+                    node_arr, t["src"].to_numpy(zero_copy_only=False))
+                W_arr[idx] = t["W"].to_numpy(zero_copy_only=False)
+
+        pr = np.full(n_nodes, base, np.int64)
+        for _ in range(iters):
+            ref = ray.put((node_arr, pr, W_arr))
+
+            def contrib_partial(b: pa.Table) -> pa.Table:
+                narr, p, W = ray.get(ref)
+                s = b["src"].to_numpy(zero_copy_only=False)
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                w = b["w"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(narr, s)
+                vals = (p[idx] * w) // W[idx]   # W>0: src has out-edges
+                g = pa.table({"dst": pa.array(d, pa.int64()),
+                              "r": pa.array(vals, pa.int64())}
+                             ).group_by(["dst"]).aggregate([("r", "sum")])
+                return pa.table({"dst": g["dst"], "c": g["r_sum"]})
+
+            contrib = np.zeros(n_nodes, np.int64)
+            for t in ray.get(edges.map_batches(
+                    contrib_partial,
+                    batch_format="pyarrow").to_arrow_refs()):
+                if t.num_rows:
+                    idx = np.searchsorted(
+                        node_arr, t["dst"].to_numpy(zero_copy_only=False))
+                    np.add.at(contrib, idx,
+                              t["c"].to_numpy(zero_copy_only=False))
+            pr = base_term + (damping_pct * contrib) // 100
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(node_arr, pa.int64()),
+            "pr_scaled": pa.array(pr, pa.int64())}))
+
+    wd = wd.materialize()
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": b["v"],
+            "pr": pa.array(np.full(b.num_rows, base, np.int64), pa.int64()),
+        })
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        rated = shuffle_join(ranks, wd, on=("v", "src"),
+                             left_cols=["pr"], right_cols=["W"],
+                             shuffle_partitions=shuffle_partitions)
+        per_edge = shuffle_join(edges, rated, on=("src", "v"),
+                                left_cols=["dst", "w"],
+                                right_cols=["pr", "W"],
+                                shuffle_partitions=shuffle_partitions)
+
+        def rate(b: pa.Table) -> pa.Table:
+            p = b["pr"].to_numpy(zero_copy_only=False)
+            w = b["w"].to_numpy(zero_copy_only=False)
+            W = b["W"].to_numpy(zero_copy_only=False)
+            return pa.table({"dst": b["dst"],
+                             "r": pa.array((p * w) // W, pa.int64())})
+
+        contrib = bucketed_agg(
+            per_edge.map_batches(rate, batch_format="pyarrow"),
+            ["dst"], [("r", "sum", "contrib")],
+            shuffle_partitions=shuffle_partitions)
+        nxt = shuffle_join(nodes, contrib, on=("v", "dst"),
+                           left_cols=[], right_cols=["contrib"], how="left",
+                           shuffle_partitions=shuffle_partitions)
+
+        def step(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            c = pc.coalesce(b["contrib"], pa.scalar(0, pa.int64()))
+            c = c.to_numpy(zero_copy_only=False)
+            if c.dtype != np.int64:      # null-typed on empty-contrib path
+                c = np.nan_to_num(c.astype(np.float64)).astype(np.int64)
+            pr = base_term + (damping_pct * c) // 100
+            return pa.table({"v": b["v"],
+                             "pr": pa.array(pr, pa.int64())})
+
+        ranks = nxt.map_batches(step, batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b["v"], "pr_scaled": b["pr"]}),
+        batch_format="pyarrow")

@@ -340,3 +340,58 @@ def test_rollup_cube_grand_total_on_empty_input(ray_session):
     assert len(r) == 1 and r["sv"].isna().all()
     c = cube_agg(empty, ["a"], [("v", "sum", "sv")]).to_pandas()
     assert len(c) == 1 and c["sv"].isna().all()
+
+
+def _wpr_ref(raw, iters=3, S=1_000_000_000, d=85):
+    from collections import Counter
+    w = Counter(raw)
+    edges = sorted(w)
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    W = {}
+    for (u, v), k in w.items():
+        W[u] = W.get(u, 0) + k
+    base = S // len(nodes)
+    pr = {v: base for v in nodes}
+    for _ in range(iters):
+        c = {v: 0 for v in nodes}
+        for (u, v), k in w.items():
+            c[v] += pr[u] * k // W[u]
+        pr = {v: ((100 - d) * base) // 100 + (d * c[v]) // 100
+              for v in nodes}
+    return pr
+
+
+def test_pagerank_weighted_matches_reference_both_paths(ray_session):
+    from bionext_ray.ops.graph import pagerank_weighted
+    rng = np.random.default_rng(17)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 20, (120, 2))]
+    want = _wpr_ref(raw)
+    for kw in ({}, {"broadcast_nodes_max": 0}):
+        got = pagerank_weighted(_edge_ds(raw).repartition(3),
+                                iters=3, **kw).to_pandas() \
+            .set_index("node").sort_index()
+        assert len(got) == len(want)
+        for v, p in want.items():
+            assert got.loc[v, "pr_scaled"] == p, (kw, v)
+
+
+def test_pagerank_weighted_all_ones_equals_unweighted(ray_session):
+    from bionext_ray.ops.graph import pagerank, pagerank_weighted
+    rng = np.random.default_rng(19)
+    raw = sorted({(int(a), int(b))
+                  for a, b in rng.integers(0, 15, (60, 2))})
+    uw = pagerank(_edge_ds(raw), iters=3).to_pandas() \
+        .set_index("node").sort_index()
+    w = pagerank_weighted(_edge_ds(raw), iters=3).to_pandas() \
+        .set_index("node").sort_index()
+    assert (uw["pr_scaled"] == w["pr_scaled"]).all()
+
+
+def test_weighted_edges_explicit_weight_col(ray_session):
+    from bionext_ray.ops.graph import weighted_edges
+    ds = _ds({"src": pa.array([1, 1, 2], pa.int64()),
+              "dst": pa.array([5, 5, 6], pa.int64()),
+              "n": pa.array([3, 4, 10], pa.int64())})
+    got = weighted_edges(ds, weight_col="n").to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == [
+        (1, 5, 7), (2, 6, 10)]
