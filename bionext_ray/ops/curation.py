@@ -42,8 +42,10 @@ def curate_corpus(documents_ds, min_tokens: int = 20,
     """(doc_id, reasons, keep) verdict per document. ``documents_ds`` must
     carry doc_id + text and be re-iterable (a lazy read, not a consumed
     stream): the signal branches each scan it independently — at 100 TB
-    that is three streaming passes over the parquet source, never a
-    driver-side materialization."""
+    that is six streaming passes over the parquet source (base signals,
+    exact dedup, boilerplate incidence + totals, vocab, OOV), never a
+    driver-side materialization; the passes are embarrassingly parallel
+    reads while every reduction stays in the gated exchange operators."""
     import pyarrow.compute as pc  # noqa: F401 (used in closures below)
 
     from .dedup import _text_md5, exact_dedup
