@@ -1,7 +1,7 @@
 """End-to-end corpus curation: the keep/drop decision a training-data
 pipeline makes per document, with machine-readable reject reasons.
 
-Composes the repo's oracle-gated signal operators into ONE verdict table —
+Composes the repo's oracle-gated signal semantics into ONE verdict table —
 the flagship "curate this crawl" pipeline a user of a webtext engine runs
 before tokenization:
 
@@ -17,12 +17,21 @@ before tokenization:
 ``keep`` is 1 iff no bit is set. Every signal is integer-ppm with floor
 division, so the whole verdict is SQL-mirrorable bit for bit.
 
-Scale shape: the per-doc signals (hash, token count, repetition) compute
-batch-local in one pass; the corpus-level signals reuse their gated
-operators (exact_dedup: one hash exchange; boilerplate_ppm: gram + doc
-exchanges; oov: one vocab exchange + ray.put broadcast); the final
-assembly is three doc/hash-keyed shuffle joins over already-reduced
-one-row-per-doc tables.
+Scale shape — exactly FOUR exchanges end to end (a first cut chained the
+standalone operators through three shuffle joins: ~9 exchanges + an actor
+pool, 43 s at bench scale; this layout measures a small fraction of that):
+
+  1. vocab        word-count bucketed exchange -> top-k to the driver
+                  (corpus_vocab_topk), broadcast into the signal pass
+  2. keeper       ONE text_hash-bucketed exchange over one-row-per-doc
+                  signal rows; min-id keeper resolved in-bucket
+  3. dup grams    ONE gram-bucketed exchange of per-(doc, gram) incidence;
+                  buckets emit per-doc duplicated-occurrence partials
+  4. verdict      union-tagged doc-bucketed exchange merging signal rows
+                  with dup-gram partials; reasons computed in-bucket
+
+Everything else (hash, token count, Gopher repetition, OOV scoring,
+trigram totals) is batch-local in a single pass over the documents.
 """
 
 from __future__ import annotations
@@ -41,81 +50,141 @@ def curate_corpus(documents_ds, min_tokens: int = 20,
                   shuffle_partitions: int | None = None):
     """(doc_id, reasons, keep) verdict per document. ``documents_ds`` must
     carry doc_id + text and be re-iterable (a lazy read, not a consumed
-    stream): the signal branches each scan it independently — at 100 TB
-    that is six streaming passes over the parquet source (base signals,
-    exact dedup, boilerplate incidence + totals, vocab, OOV), never a
-    driver-side materialization; the passes are embarrassingly parallel
-    reads while every reduction stays in the gated exchange operators."""
-    import pyarrow.compute as pc  # noqa: F401 (used in closures below)
+    stream): the vocab, signal, and incidence branches each stream over
+    it independently — three parquet passes at 100 TB, never a driver
+    materialization; every reduction is one of the four exchanges above."""
+    import pandas as pd
+    import pyarrow.compute as pc
 
-    from .dedup import _text_md5, exact_dedup
-    from .relational import shuffle_join
-    from .textstats import boilerplate_ppm, corpus_vocab_topk, oov_stats
+    from .dedup import _text_md5
+    from .relational import _key_buckets, coalesce_for_exchange
+    from .textstats import (corpus_vocab_topk, ngram_incidence_batch,
+                            repetition_stats_batch)
 
-    def base_signals(b: pa.Table) -> pa.Table:
-        # delegate the dup-word kernel to the oracle-gated
-        # repetition_stats_batch (ONE shared implementation of the Gopher
-        # fraction) — both run batch-local in the same task
-        from .textstats import repetition_stats_batch
-        t = _text_md5(b, "text")
+    P = max(16, shuffle_partitions or 0)
+    vocab = corpus_vocab_topk(documents_ds, k=vocab_k,
+                              shuffle_partitions=shuffle_partitions)
+    vocab_arr = pa.array(sorted(vocab), pa.string())
+
+    def signals(b: pa.Table) -> pa.Table:
+        """One batch-local pass: text hash, regex token count, Gopher
+        dup-word ppm (shared repetition_stats_batch kernel), OOV ppm vs
+        the broadcast vocab, and the doc's trigram total."""
         text = pc.coalesce(b["text"], "")
         n_tokens = pc.cast(pc.count_substring_regex(
             text, r"[A-Za-z0-9_]+"), pa.int64())
         rep = repetition_stats_batch(b)
+        n_words = rep["n_words"].to_numpy()            # space-split count
+        n_grams = np.maximum(n_words - (ngram_n - 1), 0)
+
+        words = pc.split_pattern(pc.utf8_lower(text), " ")
+        flat = pc.list_flatten(words)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        in_vocab = pc.is_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False)
+        lengths = pc.list_value_length(words).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64),
+                            lengths)
+        nw = np.bincount(doc_idx, weights=nonempty,
+                         minlength=len(lengths)).astype(np.int64)
+        noov = np.bincount(doc_idx, weights=nonempty & ~in_vocab,
+                           minlength=len(lengths)).astype(np.int64)
+        oov_ppm = 1_000_000 * noov // np.maximum(nw, 1)
+
         return pa.table({
             "doc_id": b["doc_id"],
-            "text_hash": t["text_hash"],
+            "text_hash": _text_md5(b, "text")["text_hash"],
             "n_tokens": n_tokens,
             "dup_word_ppm": rep["dup_word_ppm"],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "oov_ppm": pa.array(oov_ppm, pa.int64()),
         })
 
-    base = documents_ds.map_batches(base_signals, batch_format="pyarrow")
+    def hash_bucket(b: pa.Table) -> pa.Table:
+        h = _key_buckets(b["text_hash"].to_numpy(zero_copy_only=False), P)
+        return b.append_column("__bucket", pa.array(h, pa.int64()))
 
-    keepers = exact_dedup(documents_ds,
-                          shuffle_partitions=shuffle_partitions)
-    keepers = keepers.map_batches(
-        lambda b: pa.table({"text_hash": b["text_hash"],
-                            "keeper": b["doc_id"]}),
+    def resolve_dup(g: pd.DataFrame) -> pa.Table:
+        # every row of a hash shares this bucket: min-id keeper is global
+        keeper = g.groupby("text_hash")["doc_id"].transform("min")
+        out = g.assign(is_dup=(g["doc_id"] != keeper).astype("int64"))
+        return pa.Table.from_pandas(
+            out[["doc_id", "n_tokens", "dup_word_ppm", "n_grams",
+                 "oov_ppm", "is_dup"]], preserve_index=False)
+
+    base = (coalesce_for_exchange(
+                documents_ds.map_batches(signals, batch_format="pyarrow")
+                .map_batches(hash_bucket, batch_format="pyarrow"), P)
+            .groupby("__bucket")
+            .map_groups(resolve_dup, batch_format="pandas"))
+
+    inc = documents_ds.map_batches(
+        lambda b: ngram_incidence_batch(b, ngram_n).select(
+            ["doc_id", "gram", "occ"]),
         batch_format="pyarrow")
-    boiler = boilerplate_ppm(documents_ds, n=ngram_n, min_df=min_df,
-                             shuffle_partitions=shuffle_partitions)
-    boiler = boiler.map_batches(
-        lambda b: b.select(["doc_id", "dup_ppm"]), batch_format="pyarrow")
-    vocab = corpus_vocab_topk(documents_ds, k=vocab_k,
-                              shuffle_partitions=shuffle_partitions)
-    oov = oov_stats(documents_ds, vocab).map_batches(
-        lambda b: b.select(["doc_id", "oov_ppm"]), batch_format="pyarrow")
 
-    j = shuffle_join(base, keepers, on=("text_hash", "text_hash"),
-                     left_cols=["doc_id", "n_tokens", "dup_word_ppm"],
-                     right_cols=["keeper"],
-                     shuffle_partitions=shuffle_partitions)
-    j = shuffle_join(j, boiler, on=("doc_id", "doc_id"),
-                     left_cols=["n_tokens", "dup_word_ppm", "keeper"],
-                     right_cols=["dup_ppm"],
-                     shuffle_partitions=shuffle_partitions)
-    j = shuffle_join(j, oov, on=("doc_id", "doc_id"),
-                     left_cols=["n_tokens", "dup_word_ppm", "keeper",
-                                "dup_ppm"],
-                     right_cols=["oov_ppm"],
-                     shuffle_partitions=shuffle_partitions)
+    def gram_bucket(b: pa.Table) -> pa.Table:
+        h = _key_buckets(b["gram"].to_numpy(zero_copy_only=False), P)
+        return b.append_column("__bucket", pa.array(h, pa.int64()))
 
-    def verdict(b: pa.Table) -> pa.Table:
-        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        r = np.zeros(len(did), np.int64)
-        r |= DUPLICATE * (did != b["keeper"].to_numpy(
-            zero_copy_only=False).astype(np.int64))
-        r |= TOO_SHORT * (b["n_tokens"].to_numpy(
-            zero_copy_only=False) < min_tokens)
-        r |= REPETITIVE * (b["dup_word_ppm"].to_numpy(
-            zero_copy_only=False) > max_dup_word_ppm)
-        r |= BOILERPLATE * (b["dup_ppm"].to_numpy(
-            zero_copy_only=False) > max_boilerplate_ppm)
-        r |= OOV * (b["oov_ppm"].to_numpy(
-            zero_copy_only=False) > max_oov_ppm)
-        return pa.table({"doc_id": pa.array(did, pa.int64()),
-                         "reasons": pa.array(r, pa.int64()),
-                         "keep": pa.array((r == 0).astype(np.int64),
-                                          pa.int64())})
+    def dup_partial(g: pd.DataFrame) -> pa.Table:
+        # rows unique per (doc, gram): a gram's row count IS its docfreq
+        df_map = g["gram"].value_counts()
+        keep = g[g["gram"].map(df_map) >= min_df]
+        part = (keep.groupby("doc_id", sort=False)["occ"].sum()
+                .reset_index().rename(columns={"occ": "dup_occ"}))
+        return pa.Table.from_pandas(part, preserve_index=False)
 
-    return j.map_batches(verdict, batch_format="pyarrow")
+    dup = (coalesce_for_exchange(
+               inc.map_batches(gram_bucket, batch_format="pyarrow"), P)
+           .groupby("__bucket")
+           .map_groups(dup_partial, batch_format="pandas"))
+
+    # union-tag both one-row-per-doc streams into one doc-bucketed merge
+    sig_cols = ["n_tokens", "dup_word_ppm", "n_grams", "oov_ppm", "is_dup"]
+
+    def tag_base(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": pc.cast(b["doc_id"], pa.int64())}
+        for c in sig_cols:
+            cols[c] = b[c]
+        cols["dup_occ"] = pa.nulls(b.num_rows, pa.int64())
+        cols["__side"] = pa.array(np.zeros(b.num_rows, np.int8))
+        h = _key_buckets(cols["doc_id"].to_numpy(zero_copy_only=False), P)
+        cols["__bucket"] = pa.array(h, pa.int64())
+        return pa.table(cols)
+
+    def tag_dup(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": pc.cast(b["doc_id"], pa.int64())}
+        for c in sig_cols:
+            cols[c] = pa.nulls(b.num_rows, pa.int64())
+        cols["dup_occ"] = b["dup_occ"]
+        cols["__side"] = pa.array(np.ones(b.num_rows, np.int8))
+        h = _key_buckets(cols["doc_id"].to_numpy(zero_copy_only=False), P)
+        cols["__bucket"] = pa.array(h, pa.int64())
+        return pa.table(cols)
+
+    tagged = (base.map_batches(tag_base, batch_format="pyarrow")
+              .union(dup.map_batches(tag_dup, batch_format="pyarrow")))
+
+    def verdict(g: pd.DataFrame) -> pa.Table:
+        a = g[g["__side"] == 0]
+        d = (g[g["__side"] == 1].groupby("doc_id")["dup_occ"].sum())
+        dup_occ = a["doc_id"].map(d).fillna(0).astype("int64").to_numpy()
+        n_grams = a["n_grams"].to_numpy()
+        bp_ppm = 1_000_000 * dup_occ // np.maximum(n_grams, 1)
+        r = (DUPLICATE * a["is_dup"].to_numpy()
+             + TOO_SHORT * (a["n_tokens"].to_numpy() < min_tokens)
+             + REPETITIVE * (a["dup_word_ppm"].to_numpy()
+                             > max_dup_word_ppm)
+             + BOILERPLATE * (bp_ppm > max_boilerplate_ppm)
+             + OOV * (a["oov_ppm"].to_numpy() > max_oov_ppm)
+             ).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(a["doc_id"].to_numpy(), pa.int64()),
+            "reasons": pa.array(r, pa.int64()),
+            "keep": pa.array((r == 0).astype(np.int64), pa.int64()),
+        })
+
+    return (coalesce_for_exchange(tagged, P)
+            .groupby("__bucket")
+            .map_groups(verdict, batch_format="pandas"))
