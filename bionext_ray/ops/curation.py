@@ -58,8 +58,8 @@ def curate_corpus(documents_ds, min_tokens: int = 20,
 
     from .dedup import _text_md5
     from .relational import _key_buckets, coalesce_for_exchange
-    from .textstats import (corpus_vocab_topk, ngram_incidence_batch,
-                            repetition_stats_batch)
+    from .textstats import (corpus_vocab_topk, dup_gram_doc_partials,
+                            oov_arrays, repetition_stats_batch)
 
     P = max(16, shuffle_partitions or 0)
     vocab = corpus_vocab_topk(documents_ds, k=vocab_k,
@@ -76,20 +76,7 @@ def curate_corpus(documents_ds, min_tokens: int = 20,
         rep = repetition_stats_batch(b)
         n_words = rep["n_words"].to_numpy()            # space-split count
         n_grams = np.maximum(n_words - (ngram_n - 1), 0)
-
-        words = pc.split_pattern(pc.utf8_lower(text), " ")
-        flat = pc.list_flatten(words)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        in_vocab = pc.is_in(flat, value_set=vocab_arr).to_numpy(
-            zero_copy_only=False)
-        lengths = pc.list_value_length(words).to_numpy().astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64),
-                            lengths)
-        nw = np.bincount(doc_idx, weights=nonempty,
-                         minlength=len(lengths)).astype(np.int64)
-        noov = np.bincount(doc_idx, weights=nonempty & ~in_vocab,
-                           minlength=len(lengths)).astype(np.int64)
-        oov_ppm = 1_000_000 * noov // np.maximum(nw, 1)
+        _, oov_ppm = oov_arrays(b["text"], vocab_arr)  # shared OOV kernel
 
         return pa.table({
             "doc_id": b["doc_id"],
@@ -118,27 +105,10 @@ def curate_corpus(documents_ds, min_tokens: int = 20,
             .groupby("__bucket")
             .map_groups(resolve_dup, batch_format="pandas"))
 
-    inc = documents_ds.map_batches(
-        lambda b: ngram_incidence_batch(b, ngram_n).select(
-            ["doc_id", "gram", "occ"]),
-        batch_format="pyarrow")
-
-    def gram_bucket(b: pa.Table) -> pa.Table:
-        h = _key_buckets(b["gram"].to_numpy(zero_copy_only=False), P)
-        return b.append_column("__bucket", pa.array(h, pa.int64()))
-
-    def dup_partial(g: pd.DataFrame) -> pa.Table:
-        # rows unique per (doc, gram): a gram's row count IS its docfreq
-        df_map = g["gram"].value_counts()
-        keep = g[g["gram"].map(df_map) >= min_df]
-        part = (keep.groupby("doc_id", sort=False)["occ"].sum()
-                .reset_index().rename(columns={"occ": "dup_occ"}))
-        return pa.Table.from_pandas(part, preserve_index=False)
-
-    dup = (coalesce_for_exchange(
-               inc.map_batches(gram_bucket, batch_format="pyarrow"), P)
-           .groupby("__bucket")
-           .map_groups(dup_partial, batch_format="pandas"))
+    # shared dup-gram implementation (textstats); partials may carry one
+    # row per (doc, gram-bucket) — verdict() sums them per doc
+    dup = dup_gram_doc_partials(documents_ds, ngram_n, min_df,
+                                shuffle_partitions=shuffle_partitions)
 
     # union-tag both one-row-per-doc streams into one doc-bucketed merge
     sig_cols = ["n_tokens", "dup_word_ppm", "n_grams", "oov_ppm", "is_dup"]

@@ -395,6 +395,11 @@ def pagerank(edges_ds, iters: int = 3, damping_pct: int = 85,
     nodes = node_table(edges, shuffle_partitions=shuffle_partitions)
     deg = out_degrees(edges, shuffle_partitions=shuffle_partitions)
     n_nodes = nodes.count()
+    if n_nodes == 0:                     # empty edge table: empty ranks,
+        import ray.data                  # not SCALE // 0
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "pr_scaled": pa.array([], pa.int64())}))
     base = SCALE // n_nodes
     base_term = ((100 - damping_pct) * base) // 100
 
@@ -923,7 +928,15 @@ def weighted_edges(edges_ds, src: str = "src", dst: str = "dst",
         if weight_col is None:
             cols["w"] = pa.array(np.ones(b.num_rows, np.int64), pa.int64())
         else:
-            cols["w"] = pa.compute.cast(b[weight_col], pa.int64())
+            w = pa.compute.cast(b[weight_col], pa.int64())
+            # fail loud, not silently-diverge-from-SQL: the pr*w//W
+            # recurrence needs strictly positive weights (W=0 would be a
+            # silent zero-contribution in numpy but an error in the
+            # oracle; negative W flips floor-division signs)
+            if b.num_rows and pa.compute.min(w).as_py() <= 0:
+                raise ValueError(
+                    "weighted_edges: weights must be strictly positive")
+            cols["w"] = w
         return pa.table(cols)
 
     return bucketed_agg(edges_ds.map_batches(one, batch_format="pyarrow"),

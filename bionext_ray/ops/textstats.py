@@ -734,35 +734,12 @@ def boilerplate_ppm(documents_ds, n: int = 3, min_df: int = 2,
     grams still emit dup_ppm 0). Three exchanges total, each over
     already-reduced rows."""
     import numpy as np
-    import pandas as pd
     import pyarrow.compute as pc
 
-    from .relational import (_key_buckets, bucketed_agg,
-                             coalesce_for_exchange, shuffle_join)
+    from .relational import bucketed_agg, shuffle_join
 
-    P = max(16, shuffle_partitions or 0)
-    inc = documents_ds.map_batches(
-        lambda b: ngram_incidence_batch(b, n).select(
-            ["doc_id", "gram", "occ"]),
-        batch_format="pyarrow")
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        h = _key_buckets(b["gram"].to_numpy(zero_copy_only=False), P)
-        return b.append_column("__bucket", pa.array(h, pa.int64()))
-
-    def dup_partial(g: pd.DataFrame) -> pa.Table:
-        # rows are unique per (doc, gram), so the gram's row count IS its
-        # document frequency; all rows of a gram share this bucket
-        df_map = g["gram"].value_counts()
-        keep = g[g["gram"].map(df_map) >= min_df]
-        part = (keep.groupby("doc_id", sort=False)["occ"].sum()
-                .reset_index().rename(columns={"occ": "dup_occ"}))
-        return pa.Table.from_pandas(part, preserve_index=False)
-
-    dup = (coalesce_for_exchange(inc.map_batches(add_bucket,
-                                                 batch_format="pyarrow"), P)
-           .groupby("__bucket")
-           .map_groups(dup_partial, batch_format="pandas"))
+    dup = dup_gram_doc_partials(documents_ds, n, min_df,
+                                shuffle_partitions=shuffle_partitions)
     dup = bucketed_agg(dup, ["doc_id"], [("dup_occ", "sum", "dup_occ")],
                        shuffle_partitions=shuffle_partitions)
 
@@ -788,6 +765,69 @@ def boilerplate_ppm(documents_ds, n: int = 3, min_df: int = 2,
                          "dup_ppm": pa.array(ppm, pa.int64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_gram_doc_partials(documents_ds, n: int = 3, min_df: int = 2,
+                          shuffle_partitions: int | None = None):
+    """(doc_id, dup_occ) PARTIALS of duplicated-n-gram occurrences: one
+    gram-bucketed exchange over per-(doc, gram) incidence; inside each
+    bucket a gram's row count IS its document frequency (rows are unique
+    per (doc, gram)), grams with df >= min_df keep their per-doc
+    occurrence sums. Output may carry MULTIPLE rows per doc (one per gram
+    bucket) — callers sum per doc (``boilerplate_ppm`` via bucketed_agg;
+    ``ops.curation`` inside its verdict merge). THE single shared
+    implementation of the cross-document-repetition signal."""
+    import pandas as pd
+
+    from .relational import _key_buckets, coalesce_for_exchange
+
+    P = max(16, shuffle_partitions or 0)
+    inc = documents_ds.map_batches(
+        lambda b: ngram_incidence_batch(b, n).select(
+            ["doc_id", "gram", "occ"]),
+        batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = _key_buckets(b["gram"].to_numpy(zero_copy_only=False), P)
+        return b.append_column("__bucket", pa.array(h, pa.int64()))
+
+    def dup_partial(g: pd.DataFrame) -> pa.Table:
+        df_map = g["gram"].value_counts()
+        keep = g[g["gram"].map(df_map) >= min_df]
+        part = (keep.groupby("doc_id", sort=False)["occ"].sum()
+                .reset_index().rename(columns={"occ": "dup_occ"}))
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    return (coalesce_for_exchange(inc.map_batches(add_bucket,
+                                                  batch_format="pyarrow"),
+                                  P)
+            .groupby("__bucket")
+            .map_groups(dup_partial, batch_format="pandas"))
+
+
+def oov_arrays(text, value_set: pa.Array):
+    """(n_words, oov_ppm) int64 numpy arrays for a batch's text column
+    against an Arrow string value_set — the single shared OOV kernel
+    (tokens = space split of lowercased text, empty tokens dropped,
+    integer floor division). Used by ``oov_stats`` and ``ops.curation``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(
+        pc.utf8_lower(pc.coalesce(text, "")), " ")
+    flat = pc.list_flatten(words)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    in_vocab = pc.is_in(flat, value_set=value_set).to_numpy(
+        zero_copy_only=False)
+    lengths = pc.list_value_length(words).to_numpy().astype("int64")
+    n = len(lengths)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    n_words = np.bincount(doc_idx, weights=nonempty,
+                          minlength=n).astype(np.int64)
+    n_oov = np.bincount(doc_idx, weights=nonempty & ~in_vocab,
+                        minlength=n).astype(np.int64)
+    ppm = 1_000_000 * n_oov // np.maximum(n_words, 1)
+    return n_words, ppm
 
 
 def corpus_vocab_topk(documents_ds, k: int,
@@ -844,23 +884,7 @@ def oov_stats(documents_ds, vocab: list[str]):
             self.value_set = pa.array(_ray.get(ref), pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import numpy as np
-            import pyarrow.compute as pc
-            words = pc.split_pattern(
-                pc.utf8_lower(pc.coalesce(batch["text"], "")), " ")
-            flat = pc.list_flatten(words)
-            nonempty = pc.not_equal(flat, "")
-            in_vocab = pc.is_in(flat, value_set=self.value_set)
-            lengths = pc.list_value_length(words).to_numpy().astype("int64")
-            n = len(lengths)
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            ne = nonempty.to_numpy(zero_copy_only=False)
-            oov = ne & ~in_vocab.to_numpy(zero_copy_only=False)
-            n_words = np.bincount(doc_idx, weights=ne, minlength=n)
-            n_oov = np.bincount(doc_idx, weights=oov, minlength=n)
-            n_words = n_words.astype(np.int64)
-            n_oov = n_oov.astype(np.int64)
-            ppm = 1_000_000 * n_oov // np.maximum(n_words, 1)
+            n_words, ppm = oov_arrays(batch["text"], self.value_set)
             return pa.table({"doc_id": batch["doc_id"],
                              "n_words": pa.array(n_words, pa.int64()),
                              "oov_ppm": pa.array(ppm, pa.int64())})

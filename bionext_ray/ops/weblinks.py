@@ -230,7 +230,9 @@ def url_stats_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
             parts = None
         if parts is not None and parts.hostname:
             host = parts.hostname
-            tld = host.rsplit(".", 1)[-1] if "." in host else host
+            # trailing-dot FQDN form ('example.com.') still yields 'com'
+            h = host.rstrip(".")
+            tld = h.rsplit(".", 1)[-1] if "." in h else h
             depth = sum(1 for s in parts.path.split("/") if s)
             if parts.query:
                 nparams = sum(1 for p in parts.query.split("&") if p)
