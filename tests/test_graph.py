@@ -395,3 +395,19 @@ def test_weighted_edges_explicit_weight_col(ray_session):
     got = weighted_edges(ds, weight_col="n").to_pandas()
     assert sorted(map(tuple, got.values.tolist())) == [
         (1, 5, 7), (2, 6, 10)]
+
+
+def test_weighted_edges_rejects_nonpositive_weights(ray_session):
+    import pytest
+    from bionext_ray.ops.graph import weighted_edges
+    ds = _ds({"src": pa.array([1], pa.int64()),
+              "dst": pa.array([2], pa.int64()),
+              "n": pa.array([0], pa.int64())})
+    with pytest.raises(Exception):       # surfaces via Ray task error
+        weighted_edges(ds, weight_col="n").to_pandas()
+
+
+def test_pagerank_empty_graph(ray_session):
+    from bionext_ray.ops.graph import pagerank, pagerank_weighted
+    assert len(pagerank(_edge_ds([]), iters=2).to_pandas()) == 0
+    assert len(pagerank_weighted(_edge_ds([]), iters=2).to_pandas()) == 0
