@@ -1041,6 +1041,28 @@ def _crawl_pages(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode canonicalization (NFC + ASCII-whitespace collapse + strip)
+    over a deterministically-messied corpus: decomposed accents
+    (combining U+0301), tabs/newlines, doubled and edge spaces injected
+    by doc_id arithmetic; both sides report code-point lengths before and
+    after. The pass that makes exact-dedup hashes robust to encoding
+    variants."""
+    from bionext_ray.ops.textstats import normalize_text_batch
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def messy(b: pa.Table) -> pa.Table:
+        out = []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            suffix = {0: " cafe\u0301  x ", 1: "\ttab\n", 2: "   "}[d % 3]
+            out.append("  " + (t or "") + suffix)
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return ds.map_batches(messy, batch_format="pyarrow").map_batches(
+        normalize_text_batch, batch_format="pyarrow")
+
+
 def q_url_stats(sf_dir: str):
     """URL structural features (crawl-frontier scheduling keys): the
     engine PARSES synthesized URLs — host with subdomain (case-folded for
@@ -1994,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": q_corpus_curation,
         "url_stats": q_url_stats,
         "pagerank_weighted": q_pagerank_weighted,
+        "normalize_text": q_normalize_text,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2918,6 +2941,25 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(a.total - 1, 1) AS BIGINT)
                        AS top_bigram_ppm
             FROM agg a LEFT JOIN bagg b USING (doc_id)
+        """,
+        "normalize_text": """
+            WITH m AS (SELECT doc_id,
+                              '  ' || COALESCE(text, '') ||
+                              CASE doc_id % 3
+                                   WHEN 0 THEN ' cafe' || chr(769)
+                                               || '  x '
+                                   WHEN 1 THEN chr(9) || 'tab' || chr(10)
+                                   ELSE '   ' END AS messy
+                       FROM documents),
+                 n AS (SELECT doc_id, messy,
+                              trim(regexp_replace(nfc_normalize(messy),
+                                   '[ \\t\\n\\r\\f]+', ' ', 'g'))
+                                  AS norm_text
+                       FROM m)
+            SELECT doc_id, norm_text,
+                   CAST(length(messy) AS BIGINT) AS n_before,
+                   CAST(length(norm_text) AS BIGINT) AS n_after
+            FROM n
         """,
         "url_stats": """
             SELECT doc_id,

@@ -892,3 +892,30 @@ def oov_stats(documents_ds, vocab: list[str]):
     from .relational import actor_pool_size
     return documents_ds.map_batches(OovFn, batch_format="pyarrow",
                                     concurrency=actor_pool_size())
+
+
+_WS_RE = re.compile(r"[ \t\n\r\f]+")
+
+
+def normalize_text_batch(batch: pa.Table,
+                         text_col: str = "text") -> pa.Table:
+    """Unicode text canonicalization — THE cleaning pass that precedes
+    exact/near dedup (decomposed accents and whitespace variants must not
+    defeat a hash): NFC normalization, ASCII-whitespace-run collapse to a
+    single space, strip. Emits (doc_id, norm_text, n_before, n_after)
+    with code-point lengths (mirrors SQL length()). Per-doc loop — NFC is
+    a per-string C call either way (the fingerprint_batch lesson)."""
+    import unicodedata
+
+    texts = batch[text_col].to_pylist()
+    out, nb, na = [], [], []
+    for t in texts:
+        s = t or ""
+        nb.append(len(s))
+        s = _WS_RE.sub(" ", unicodedata.normalize("NFC", s)).strip()
+        out.append(s)
+        na.append(len(s))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "norm_text": pa.array(out, pa.string()),
+                     "n_before": pa.array(nb, pa.int64()),
+                     "n_after": pa.array(na, pa.int64())})

@@ -51,3 +51,19 @@ def test_boilerplate_ppm_left_join_zero_docs(ray_session):
     # short and empty docs still present with 0
     assert out.loc[3].tolist() == [0, 0]
     assert out.loc[4].tolist() == [0, 0]
+
+
+def test_normalize_text_batch_semantics():
+    from bionext_ray.ops.textstats import normalize_text_batch
+    t = normalize_text_batch(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["  a\t b\n\nc  ", "cafe\u0301", None],
+                         pa.string()),
+    }))
+    rows = t.to_pylist()
+    assert rows[0]["norm_text"] == "a b c"
+    assert rows[0]["n_before"] == 11 and rows[0]["n_after"] == 5
+    # NFC composes e + combining U+0301 into one code point
+    assert rows[1]["norm_text"] == "caf\u00e9"
+    assert rows[1]["n_before"] == 5 and rows[1]["n_after"] == 4
+    assert rows[2]["norm_text"] == "" and rows[2]["n_before"] == 0
