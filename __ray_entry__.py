@@ -1041,6 +1041,30 @@ def _crawl_pages(sf_dir: str):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def q_top_phrases(sf_dir: str):
+    """Corpus-wide trigram-phrase top-20 by total occurrences (count desc,
+    phrase asc): per-(doc, gram) incidence combines in-block, ONE
+    gram-bucketed exchange sums occurrences, <= 20 rows per reduced block
+    reach the driver for the final head — the common-phrase inventory
+    that seeds boilerplate blocklists."""
+    from bionext_ray.ops.relational import bucketed_agg
+    from bionext_ray.ops.textstats import ngram_incidence_batch
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    inc = docs.map_batches(
+        lambda b: ngram_incidence_batch(b, 3).select(["gram", "occ"]),
+        batch_format="pyarrow")
+    counts = bucketed_agg(inc, ["gram"], [("occ", "sum", "n")])
+
+    def local_top(b):
+        return b.sort_values(["n", "gram"],
+                             ascending=[False, True]).head(20)
+
+    head = counts.map_batches(local_top,
+                              batch_format="pandas").to_pandas()
+    return (head.sort_values(["n", "gram"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode canonicalization (NFC + ASCII-whitespace collapse + strip)
     over a deterministically-messied corpus: decomposed accents
@@ -2017,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_stats": q_url_stats,
         "pagerank_weighted": q_pagerank_weighted,
         "normalize_text": q_normalize_text,
+        "top_phrases": q_top_phrases,
         # -- never driver-checked (new in round 3) --
         "sorted_neighborhood": q_sorted_neighborhood,
         "contamination": q_contamination,
@@ -2941,6 +2966,20 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(a.total - 1, 1) AS BIGINT)
                        AS top_bigram_ppm
             FROM agg a LEFT JOIN bagg b USING (doc_id)
+        """,
+        "top_phrases": """
+            WITH w AS (SELECT doc_id,
+                              string_split(lower(COALESCE(text, '')), ' ')
+                                  AS l
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i + 1] || ' '
+                                       || l[i + 2])) AS gram
+                       FROM w WHERE len(l) >= 3)
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM g GROUP BY gram
+            ORDER BY n DESC, gram LIMIT 20
         """,
         "normalize_text": """
             WITH m AS (SELECT doc_id,

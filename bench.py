@@ -65,7 +65,7 @@ def _run_bench() -> dict:
         "repetition_stats", "host_link_graph", "top_anchor_text",
         "ngram_docfreq", "boilerplate", "oov_rate", "hits",
         "crawl_latest", "cocitation", "corpus_curation", "url_stats",
-        "pagerank_weighted", "normalize_text",
+        "pagerank_weighted", "normalize_text", "top_phrases",
     ]
 
     per_query = {}
