@@ -2251,7 +2251,107 @@ def oracle_sql() -> dict[str, str]:
         return ", ".join(f"('{k}', '{v}')"
                          for k, v in default_kb().gene_lookup.items())
 
+    def _gazetteer_values() -> str:
+        """(surface, label) VALUES rows for the FULL tagger gazetteer —
+        including multi-word and non-alnum surfaces — plus build-time
+        proofs that the oracle's same-start longest-match suppression rule
+        is complete for this gazetteer.
+
+        The kg_mentions oracle re-derives the surrogate tagger's output
+        (gazetteer.py::GazetteerMatcher + the reference decoder's
+        adjacent-span label quirk) with pure string arithmetic. Its
+        suppression rule — at equal start, the longest matching surface
+        wins — models regex alternation sorted by length. That rule is
+        complete ONLY if no surface can match strictly INSIDE or ACROSS
+        another surface's match (the scan would then consume it), so we
+        assert the gazetteer has no such pair and fail loudly here if the
+        KB ever gains one, instead of silently shipping a wrong oracle."""
+        from bionext_ray.kb import default_kb
+        gaz = {k.lower(): v for k, v in default_kb().gazetteer.items()}
+        word = set("abcdefghijklmnopqrstuvwxyz0123456789_")
+        for s in gaz:
+            for off in range(1, len(s)):
+                if s[off - 1] in word:
+                    continue  # not a match-start boundary inside s
+                tail = s[off:]
+                for t in gaz:
+                    if t == s:
+                        continue
+                    inside = tail.startswith(t) and (
+                        off + len(t) == len(s)
+                        or s[off + len(t)] not in word)
+                    crosses = t.startswith(tail)
+                    assert not (inside or crosses), \
+                        f"gazetteer pair breaks oracle suppression: {s!r} " \
+                        f"at offset {off} vs {t!r}"
+        return ", ".join(f"('{s}', '{gaz[s]}')" for s in sorted(gaz))
+
     return {
+        # Full oracle for the flagship tagger stage: enumerate every
+        # candidate (term, position) over the derived page text with
+        # substr arithmetic; word-boundary class is [a-z0-9_] (the
+        # matcher's [a-z0-9] lookarounds + the BIO labeler dropping
+        # underscore-glued, non-token-aligned spans — functions/ner.py);
+        # same-start longest surface wins (alternation sorted by length,
+        # completeness proven in _gazetteer_values); a span whose gap to
+        # the NEXT span is pure whitespace takes that span's label (the
+        # reference decoder flush quirk, decoder.py:33-38, faithfully
+        # kept by both tagger paths); mention_id = per-doc position rank.
+        "kg_mentions": f"""
+            WITH pages AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text
+                          ELSE 'Doc ' || doc_id || ' ' || text END AS t
+              FROM documents
+            ),
+            lp AS (SELECT doc_id, t, lower(t) AS lt, length(t) AS n
+                   FROM pages),
+            terms(term, lbl) AS (VALUES {_gazetteer_values()}),
+            nums AS (SELECT CAST(unnest(range(1,
+                         (SELECT MAX(n) FROM lp) + 1)) AS BIGINT) AS p),
+            raw AS (
+              SELECT lp.doc_id, lp.t, tm.term, tm.lbl, nums.p,
+                     length(tm.term) AS L
+              FROM lp CROSS JOIN terms tm
+                   JOIN nums ON nums.p + length(tm.term) - 1 <= lp.n
+              WHERE substr(lp.lt, nums.p, length(tm.term)) = tm.term
+                AND (nums.p = 1 OR NOT regexp_full_match(
+                         substr(lp.lt, nums.p - 1, 1), '[a-z0-9_]'))
+                AND (nums.p + length(tm.term) > lp.n OR
+                     NOT regexp_full_match(
+                         substr(lp.lt, nums.p + length(tm.term), 1),
+                         '[a-z0-9_]'))
+            ),
+            hits AS (
+              SELECT * FROM (
+                SELECT r.*, MAX(L) OVER (PARTITION BY doc_id, p) AS mx
+                FROM raw r)
+              WHERE L = mx
+            ),
+            ordered AS (
+              SELECT doc_id, t, term, lbl, p, L,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY p) - 1 AS mid,
+                     LEAD(lbl) OVER (PARTITION BY doc_id ORDER BY p)
+                         AS nxt_lbl,
+                     LEAD(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         AS nxt_p
+              FROM hits
+            )
+            SELECT doc_id,
+                   CAST(mid AS INTEGER) AS mention_id,
+                   CASE WHEN nxt_p IS NOT NULL AND regexp_full_match(
+                             substr(t, CAST(p + L AS INTEGER),
+                                    CAST(nxt_p - (p + L) AS INTEGER)),
+                             '[ \t\n\r\f\x0b]*')
+                        THEN nxt_lbl ELSE lbl END AS label,
+                   substr(t, CAST(p AS INTEGER), CAST(L AS INTEGER))
+                       AS text,
+                   p - 1 AS "start",
+                   p - 1 + L AS "end",
+                   '-' AS identifier
+            FROM ordered
+        """,
         "kg_extract_text": f"""
             SELECT 'https://example.org/doc/' || doc_id AS url,
                    CAST(doc_id AS VARCHAR) AS doc_id,

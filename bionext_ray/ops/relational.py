@@ -587,7 +587,8 @@ def _key_buckets(arr, P: int):
 
 def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
                  right_cols: list[str], how: str = "inner",
-                 shuffle_partitions: int | None = None):
+                 shuffle_partitions: int | None = None,
+                 right_types: dict | None = None):
     """Distributed hash (shuffle) join of two LARGE datasets on 1+ keys.
 
     The big-big complement of ``broadcast_join`` (reference joins are all
@@ -624,22 +625,26 @@ def shuffle_join(left_ds, right_ds, on, left_cols: list[str],
     # bucketed_agg): Ray reports schema() None. Empty left -> empty join
     # either way (left_ds returned verbatim — it has no schema to dress
     # up); empty right -> inner is empty, left keeps every left row with
-    # null right columns. DOCUMENTED LIMITATION: on these paths the right
-    # columns are typed pa.null() (their real types are unknowable from a
-    # zero-block dataset), unlike a normal empty join result which carries
-    # the right side's true types — consumers casting right columns must
-    # tolerate null-typed input (numpy coerces None -> nan).
+    # null right columns. On this path the right columns' true types are
+    # unknowable from a zero-block dataset: pass ``right_types``
+    # ({col -> pa.DataType}) to pin them; columns absent from the hint are
+    # typed pa.null() (DOCUMENTED LIMITATION — consumers casting unhinted
+    # right columns must tolerate null-typed input; numpy coerces
+    # None -> nan).
     _ls, _rs = left_ds.schema(), right_ds.schema()
     if _ls is None:
         return left_ds
     lsch = _ls.base_schema
     if _rs is None:
+        hint = right_types or {}
+
         def pad(b: pa.Table) -> pa.Table:
             cols = {k: b[k] for k in lkeys}
             for c in left_cols:
                 cols[c] = b[c]
             for c in right_cols:
-                cols[c] = pa.nulls(b.num_rows)
+                cols[c] = (pa.nulls(b.num_rows, hint[c]) if c in hint
+                           else pa.nulls(b.num_rows))
             return pa.table(cols)
 
         padded = (left_ds.select_columns(lkeys + left_cols)
@@ -1824,16 +1829,24 @@ def latest_by_key(ds, key_cols: list[str], order_col: str,
 
     Shape: block-local argmax first (one row per key per block crosses the
     wire, payload included exactly once), then ONE key-hash bucketed
-    exchange with a vectorized in-bucket sort + drop_duplicates. Ties
-    beyond (order_col, tiebreak) are broken by the full tuple order being
-    total per key on real data; pass an explicit tiebreak (e.g. a fetch
-    id) when order_col alone can collide."""
+    exchange with a vectorized in-bucket sort + drop_duplicates.
+
+    DETERMINISM: when (order_col, *tiebreak) fully ties within a key, the
+    remaining payload columns join the sort as a last-resort total order —
+    the winning row is then a pure function of the data, not of block
+    layout (without this, the block-local keep='first' made the answer
+    depend on partitioning). Callers should still pass an explicit
+    tiebreak (e.g. a fetch id) when order_col alone can collide; the
+    payload fallback requires every payload column to be sortable."""
     import numpy as np
     import pandas as pd
 
     P = max(16, shuffle_partitions or 0)
     sort_cols = key_cols + [order_col] + list(tiebreak or [])
-    asc = [True] * len(key_cols) + [False] * (1 + len(tiebreak or []))
+    payload_rest = [c for c in ds.schema().names if c not in sort_cols]
+    sort_cols = sort_cols + payload_rest
+    asc = [True] * len(key_cols) + [False] * (1 + len(tiebreak or [])
+                                              + len(payload_rest))
 
     def local(b: pa.Table) -> pa.Table:
         df = (b.to_pandas().sort_values(sort_cols, ascending=asc,

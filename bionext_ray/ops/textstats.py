@@ -636,12 +636,23 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     same = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) > 1 else \
         np.zeros(0, bool)
     bdoc = doc_idx[:-1][same]
-    bkey = bdoc * (V * V) + codes[:-1][same] * V + codes[1:][same]
+    c1, c2 = codes[:-1][same], codes[1:][same]
     n_bigrams = np.maximum(lengths - 1, 0)
     top_bigram = np.zeros(n, np.int64)
-    if len(bkey):
-        ubk, bcnt = np.unique(bkey, return_counts=True)
-        ubd = ubk // (V * V)
+    if len(bdoc):
+        # composite key doc*(V*V) + c1*V + c2 must fit int64 (Python-int
+        # guard: the numpy product itself would wrap silently); a batch
+        # large enough to overflow falls back to row-wise unique over the
+        # (doc, c1, c2) triples — same counts, sorted doc-major either way
+        if int(n) * int(V) * int(V) < 2 ** 63:
+            bkey = bdoc * (V * V) + c1 * V + c2
+            ubk, bcnt = np.unique(bkey, return_counts=True)
+            ubd = ubk // (V * V)
+        else:
+            utrip, bcnt = np.unique(
+                np.stack([bdoc, c1, c2], axis=1), axis=0,
+                return_counts=True)
+            ubd = utrip[:, 0]
         bstarts = np.searchsorted(ubd, np.arange(n))
         bhas = np.bincount(ubd, minlength=n) > 0
         top_bigram[bhas] = np.maximum.reduceat(bcnt, bstarts[bhas])
@@ -912,7 +923,11 @@ def normalize_text_batch(batch: pa.Table,
     for t in texts:
         s = t or ""
         nb.append(len(s))
-        s = _WS_RE.sub(" ", unicodedata.normalize("NFC", s)).strip()
+        # strip ONLY ' ': after the ASCII-class collapse every edge char
+        # from that class is ' ', and the oracle's trim() strips spaces
+        # only — Python str.strip() would also eat \v / \x1c-\x1f / NBSP,
+        # silently diverging from the SQL definition of whitespace
+        s = _WS_RE.sub(" ", unicodedata.normalize("NFC", s)).strip(" ")
         out.append(s)
         na.append(len(s))
     return pa.table({"doc_id": batch["doc_id"],
