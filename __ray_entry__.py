@@ -104,6 +104,37 @@ def q_kg_canonical_triples(sf_dir: str):
     return _kg_stages(sf_dir)["canonical"]
 
 
+def q_kg_linked_dict(sf_dir: str):
+    """Dictionary-tier-only entity linking, hard-checkable by SQL: the
+    linker runs with an all-zero embedder so every embedding tier
+    (chem/disease/cell shards and the per-tax gene matrix) is PROVABLY
+    inert — what remains is the exact dict cascade + per-doc majority
+    votes + nearest-organism/nearest-gene context + cleaner renumbering
+    (/root/reference/src/linker/taxonomy.py:45-92, genes.py:107-178,
+    seq_variant.py:386-481, cleaner.py:5-30), all expressible in DuckDB.
+    The full-embedder path stays covered by tests/test_parity.py."""
+    import ray as _ray
+    from bionext_ray.embedding import zero_embed_batch
+    from bionext_ray.kb import default_kb
+    from bionext_ray.ops.relational import actor_pool_size
+    from bionext_ray.pipeline import extract_stage, pages_from_documents
+    from bionext_ray.stages.linker import linker_stage
+    from bionext_ray.stages.tagger import explode_mentions, tagger_stage
+    kb = default_kb()
+    kb_ref = _ray.put(kb)
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    conc = actor_pool_size()
+    pages = pages_from_documents(sf_dir, num_blocks=2 * ncpu)
+    docs = extract_stage(pages, batch_size=512)
+    tagged = tagger_stage(docs, kb.gazetteer, concurrency=conc,
+                          batch_size=256)
+    linked = linker_stage(tagged, kb_ref, concurrency=conc, batch_size=256,
+                          embedder=zero_embed_batch)
+    return explode_mentions(linked).select_columns(
+        ["doc_id", "mention_id", "label", "text", "start", "end",
+         "identifier"])
+
+
 # ---------------------------------------------------------------------------
 # text analysis ops (documents table)
 
@@ -2022,8 +2053,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (the first ~10 land in the window and rotate forward across
     # rounds); long-green r03 veterans sit at the tail.
     return {
-        "kg_extract_text": q_kg_extract_text,
         "kg_mentions": q_kg_mentions,
+        "kg_linked_dict": q_kg_linked_dict,
+        "kg_extract_text": q_kg_extract_text,
         "kg_linked_mentions": q_kg_linked_mentions,
         "kg_triples": q_kg_triples,
         "kg_canonical_triples": q_kg_canonical_triples,
@@ -2286,19 +2318,19 @@ def oracle_sql() -> dict[str, str]:
                         f"at offset {off} vs {t!r}"
         return ", ".join(f"('{s}', '{gaz[s]}')" for s in sorted(gaz))
 
-    return {
-        # Full oracle for the flagship tagger stage: enumerate every
-        # candidate (term, position) over the derived page text with
-        # substr arithmetic; word-boundary class is [a-z0-9_] (the
-        # matcher's [a-z0-9] lookarounds + the BIO labeler dropping
-        # underscore-glued, non-token-aligned spans — functions/ner.py);
-        # same-start longest surface wins (alternation sorted by length,
-        # completeness proven in _gazetteer_values); a span whose gap to
-        # the NEXT span is pure whitespace takes that span's label (the
-        # reference decoder flush quirk, decoder.py:33-38, faithfully
-        # kept by both tagger paths); mention_id = per-doc position rank.
-        "kg_mentions": f"""
-            WITH pages AS (
+    def _kg_mention_ctes() -> str:
+        """Shared CTE chain deriving the tagger's mention table
+        (doc_id, mid, label, text, s, e) from `documents` by pure string
+        arithmetic: candidate (term, position) enumeration with substr,
+        word-boundary class [a-z0-9_] (matcher lookarounds + the BIO
+        labeler dropping underscore-glued spans, functions/ner.py),
+        same-start longest-surface suppression (completeness proven in
+        _gazetteer_values), and the reference decoder's flush quirk — a
+        span whose gap to the NEXT span is pure whitespace takes that
+        span's label (decoder.py:33-38, kept by both tagger paths).
+        mid is the per-doc position rank (the tagger's mention id)."""
+        return f"""
+            pages AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                      CASE WHEN doc_id % 3 = 0 THEN text
                           ELSE 'Doc ' || doc_id || ' ' || text END AS t
@@ -2328,29 +2360,259 @@ def oracle_sql() -> dict[str, str]:
                 FROM raw r)
               WHERE L = mx
             ),
-            ordered AS (
-              SELECT doc_id, t, term, lbl, p, L,
-                     ROW_NUMBER() OVER (PARTITION BY doc_id
-                                        ORDER BY p) - 1 AS mid,
-                     LEAD(lbl) OVER (PARTITION BY doc_id ORDER BY p)
-                         AS nxt_lbl,
-                     LEAD(p) OVER (PARTITION BY doc_id ORDER BY p)
-                         AS nxt_p
-              FROM hits
-            )
+            men AS (
+              SELECT doc_id, mid,
+                     CASE WHEN nxt_p IS NOT NULL AND regexp_full_match(
+                               substr(t, CAST(p + L AS INTEGER),
+                                      CAST(nxt_p - (p + L) AS INTEGER)),
+                               '[ \t\n\r\f\x0b]*')
+                          THEN nxt_lbl ELSE lbl END AS label,
+                     substr(t, CAST(p AS INTEGER), CAST(L AS INTEGER))
+                         AS text,
+                     p - 1 AS s, p - 1 + L AS e
+              FROM (
+                SELECT doc_id, t, term, lbl, p, L,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY p) - 1 AS mid,
+                       LEAD(lbl) OVER (PARTITION BY doc_id ORDER BY p)
+                           AS nxt_lbl,
+                       LEAD(p) OVER (PARTITION BY doc_id ORDER BY p)
+                           AS nxt_p
+                FROM hits)
+            )"""
+
+    def _kg_kb_values() -> dict:
+        """Dict-tier lookup tables for the kg_linked_dict oracle, emitted
+        straight from the KB (the same config the linker actors load).
+        Build-time asserts pin the oracle's blind spots: tiers it does not
+        model must be empty, and variant lookups must be single-valued."""
+        from bionext_ray.kb import default_kb
+        kb = default_kb()
+        assert kb.direct.get("DiseaseOrPhenotypicFeature") == {}, \
+            "disease direct tier gained entries; extend kg_linked_dict SQL"
+        assert kb.direct.get("CellLine") == {}, \
+            "cell direct tier gained entries; extend kg_linked_dict SQL"
+        for v in kb.variant_lookup.values():
+            assert len(v) == 1, "multi-valued variant lookup; add ord"
+        out = {}
+        out["org_direct"] = ", ".join(
+            f"('{k}', '{v[0] if isinstance(v, list) else v}')"
+            for k, v in kb.direct["OrganismTaxon"].items())
+        out["org_name"] = ", ".join(
+            f"('{t}', {i}, '{c}')" for t, ids in sorted(kb.taxonomy.items())
+            for i, c in enumerate(ids))
+        out["manual_corr"] = ", ".join(
+            f"('{k}', '{v}')" for k, v in kb.manual_correction.items())
+        out["genes_taxa"] = ", ".join(f"('{t}')" for t in sorted(kb.genes))
+        out["gene_emb_taxa"] = ", ".join(
+            f"('{t}')" for t in sorted(kb.gene_emb))
+        out["gene_direct"] = ", ".join(
+            f"('{tax}', '{term}', {i}, '{c}')"
+            for tax, d in sorted(
+                kb.direct.get("GeneOrGeneProduct", {}).items())
+            for term, ids in sorted(d.items())
+            for i, c in enumerate(list(ids)))
+        out["gene_alias"] = ", ".join(
+            f"('{tax}', '{term}', {i}, '{c}')"
+            for tax, d in sorted(kb.genes.items())
+            for term, ids in sorted(d.items())
+            for i, c in enumerate(sorted(set(ids))))
+        out["gene_backup"] = ", ".join(
+            f"('{term}', {i}, '{c}')"
+            for term, ids in sorted(kb.backup_gene.items())
+            for i, c in enumerate(ids))
+        out["chem_direct"] = ", ".join(
+            f"('{term}', {i}, '{c}')"
+            for term, ids in sorted(
+                kb.direct.get("ChemicalEntity", {}).items())
+            for i, c in enumerate(list(ids)))
+        out["gene_lookup"] = ", ".join(
+            f"('{g}', '{s}')" for g, s in sorted(kb.gene_lookup.items()))
+        out["variant_lookup"] = ", ".join(
+            f"('{k}', '{v[0]}')"
+            for k, v in sorted(kb.variant_lookup.items()))
+        return out
+
+    _kg_kb = _kg_kb_values()
+
+    return {
+        # Full oracle for the flagship tagger stage (see _kg_mention_ctes
+        # for the derivation); identifier is the tagger's un-linked '-'.
+        "kg_mentions": f"""
+            WITH {_kg_mention_ctes()}
             SELECT doc_id,
                    CAST(mid AS INTEGER) AS mention_id,
-                   CASE WHEN nxt_p IS NOT NULL AND regexp_full_match(
-                             substr(t, CAST(p + L AS INTEGER),
-                                    CAST(nxt_p - (p + L) AS INTEGER)),
-                             '[ \t\n\r\f\x0b]*')
-                        THEN nxt_lbl ELSE lbl END AS label,
-                   substr(t, CAST(p AS INTEGER), CAST(L AS INTEGER))
-                       AS text,
-                   p - 1 AS "start",
-                   p - 1 + L AS "end",
+                   label, text,
+                   s AS "start", e AS "end",
                    '-' AS identifier
-            FROM ordered
+            FROM men
+        """,
+        # Dict-tier-only linker oracle: the engine runs with a zero
+        # embedder (every cosine 0 < threshold), so the full cascade
+        # reduces to dictionary joins + per-doc majority votes (first-wins
+        # ties via candidate list order), nearest-organism / nearest-gene
+        # proximity context (strict-< argmin => earliest mention wins
+        # ties), the gene_emb '-' sentinel that blocks the backup tier for
+        # taxa with embedding shards (genes.py:84-103 faithfully kept),
+        # and cleaner renumbering over kept mentions.
+        "kg_linked_dict": f"""
+            WITH {_kg_mention_ctes()},
+            org_direct(txt, id) AS (VALUES {_kg_kb['org_direct']}),
+            org_name(term, ord, id) AS (VALUES {_kg_kb['org_name']}),
+            manual_corr(from_id, to_id) AS
+                (VALUES {_kg_kb['manual_corr']}),
+            genes_taxa(tax) AS (VALUES {_kg_kb['genes_taxa']}),
+            gene_emb_taxa(tax) AS (VALUES {_kg_kb['gene_emb_taxa']}),
+            gene_direct(tax, term, ord, id) AS
+                (VALUES {_kg_kb['gene_direct']}),
+            gene_alias(tax, term, ord, id) AS
+                (VALUES {_kg_kb['gene_alias']}),
+            gene_backup(term, ord, id) AS
+                (VALUES {_kg_kb['gene_backup']}),
+            chem_direct(term, ord, id) AS
+                (VALUES {_kg_kb['chem_direct']}),
+            gene_sym(gid, symbol) AS (VALUES {_kg_kb['gene_lookup']}),
+            variant_lu(vkey, rsid) AS
+                (VALUES {_kg_kb['variant_lookup']}),
+            org AS (SELECT * FROM men WHERE label = 'OrganismTaxon'),
+            org_cand AS (
+              SELECT o.doc_id, o.mid, o.s, d.id AS cand, 0 AS ord
+              FROM org o JOIN org_direct d ON o.text = d.txt
+              UNION ALL
+              SELECT o.doc_id, o.mid, o.s, n.id, n.ord
+              FROM org o JOIN org_name n ON lower(o.text) = n.term
+              WHERE o.text NOT IN (SELECT txt FROM org_direct)
+            ),
+            org_votes AS (SELECT doc_id, cand, COUNT(*) AS cnt
+                          FROM org_cand GROUP BY doc_id, cand),
+            org_win AS (
+              SELECT doc_id, mid, s, cand FROM (
+                SELECT c.*, ROW_NUMBER() OVER (
+                       PARTITION BY c.doc_id, c.mid
+                       ORDER BY v.cnt DESC, c.ord ASC) AS rn
+                FROM org_cand c JOIN org_votes v USING (doc_id, cand))
+              WHERE rn = 1),
+            org_final AS (
+              SELECT w.doc_id, w.mid, w.s,
+                     COALESCE(mc.to_id, w.cand) AS org_id
+              FROM org_win w
+                   LEFT JOIN manual_corr mc ON w.cand = mc.from_id),
+            gene AS (SELECT * FROM men
+                     WHERE label = 'GeneOrGeneProduct'),
+            qorg AS (SELECT f.doc_id, f.mid AS org_mid, f.s AS org_s,
+                            f.org_id
+                     FROM org_final f
+                          JOIN genes_taxa gt ON f.org_id = gt.tax),
+            near_org AS (
+              SELECT doc_id, mid, tax FROM (
+                SELECT g.doc_id, g.mid, q.org_id AS tax,
+                       ROW_NUMBER() OVER (PARTITION BY g.doc_id, g.mid
+                           ORDER BY abs(g.s - q.org_s), q.org_mid) AS rn
+                FROM gene g JOIN qorg q USING (doc_id))
+              WHERE rn = 1),
+            gene_tax AS (
+              SELECT g.doc_id, g.mid, g.s, lower(g.text) AS lterm,
+                     COALESCE(n.tax, '9606') AS tax
+              FROM gene g LEFT JOIN near_org n USING (doc_id, mid)),
+            g_direct AS (
+              SELECT t.doc_id, t.mid, d.id AS cand, d.ord
+              FROM gene_tax t JOIN gene_direct d
+                   ON t.tax = d.tax AND t.lterm = d.term),
+            g_alias AS (
+              SELECT t.doc_id, t.mid, a.id AS cand, a.ord
+              FROM gene_tax t JOIN gene_alias a
+                   ON t.tax = a.tax AND t.lterm = a.term
+              WHERE NOT EXISTS (SELECT 1 FROM g_direct d
+                    WHERE d.doc_id = t.doc_id AND d.mid = t.mid)),
+            g_emb AS (
+              SELECT t.doc_id, t.mid, '-' AS cand, 0 AS ord
+              FROM gene_tax t JOIN gene_emb_taxa et ON t.tax = et.tax
+              WHERE NOT EXISTS (SELECT 1 FROM g_direct d
+                    WHERE d.doc_id = t.doc_id AND d.mid = t.mid)
+                AND NOT EXISTS (SELECT 1 FROM g_alias a
+                    WHERE a.doc_id = t.doc_id AND a.mid = t.mid)),
+            g_backup AS (
+              SELECT t.doc_id, t.mid, b.id AS cand, b.ord
+              FROM gene_tax t JOIN gene_backup b ON t.lterm = b.term
+              WHERE t.tax NOT IN (SELECT tax FROM gene_emb_taxa)
+                AND NOT EXISTS (SELECT 1 FROM g_direct d
+                    WHERE d.doc_id = t.doc_id AND d.mid = t.mid)
+                AND NOT EXISTS (SELECT 1 FROM g_alias a
+                    WHERE a.doc_id = t.doc_id AND a.mid = t.mid)),
+            gene_cand AS (
+              SELECT * FROM g_direct UNION ALL SELECT * FROM g_alias
+              UNION ALL SELECT * FROM g_emb
+              UNION ALL SELECT * FROM g_backup),
+            gene_votes AS (SELECT doc_id, cand, COUNT(*) AS cnt
+                           FROM gene_cand GROUP BY doc_id, cand),
+            gene_win AS (
+              SELECT doc_id, mid, cand FROM (
+                SELECT c.*, ROW_NUMBER() OVER (
+                       PARTITION BY c.doc_id, c.mid
+                       ORDER BY v.cnt DESC, c.ord ASC) AS rn
+                FROM gene_cand c JOIN gene_votes v USING (doc_id, cand))
+              WHERE rn = 1),
+            var AS (SELECT * FROM men WHERE label = 'SequenceVariant'),
+            gene_all AS (
+              SELECT t.doc_id, t.mid AS g_mid, t.s AS g_s,
+                     COALESCE(w.cand, '-') AS gid
+              FROM gene_tax t LEFT JOIN gene_win w USING (doc_id, mid)),
+            near_gene AS (
+              SELECT doc_id, mid, gid FROM (
+                SELECT v.doc_id, v.mid, g.gid,
+                       ROW_NUMBER() OVER (PARTITION BY v.doc_id, v.mid
+                           ORDER BY abs(v.s - g.g_s), g.g_mid) AS rn
+                FROM var v JOIN gene_all g USING (doc_id))
+              WHERE rn = 1),
+            var_cand AS (
+              SELECT v.doc_id, v.mid, lower(v.text) AS cand, 0 AS ord
+              FROM var v WHERE lower(v.text) LIKE 'rs%'
+              UNION ALL
+              SELECT v.doc_id, v.mid, vl.rsid, 0
+              FROM var v
+                   JOIN near_gene ng
+                     ON v.doc_id = ng.doc_id AND v.mid = ng.mid
+                   JOIN gene_sym gs ON ng.gid = gs.gid
+                   JOIN variant_lu vl
+                     ON replace(replace(replace(v.text, '/', '>'),
+                                        '--', ''), ' ', '')
+                        || ' ' || gs.symbol = vl.vkey
+              WHERE NOT lower(v.text) LIKE 'rs%'),
+            var_votes AS (SELECT doc_id, cand, COUNT(*) AS cnt
+                          FROM var_cand GROUP BY doc_id, cand),
+            var_win AS (
+              SELECT doc_id, mid, cand FROM (
+                SELECT c.*, ROW_NUMBER() OVER (
+                       PARTITION BY c.doc_id, c.mid
+                       ORDER BY v.cnt DESC, c.ord ASC) AS rn
+                FROM var_cand c JOIN var_votes v USING (doc_id, cand))
+              WHERE rn = 1),
+            chem AS (SELECT * FROM men WHERE label = 'ChemicalEntity'),
+            chem_cand AS (
+              SELECT c.doc_id, c.mid, d.id AS cand, d.ord
+              FROM chem c JOIN chem_direct d ON lower(c.text) = d.term),
+            chem_votes AS (SELECT doc_id, cand, COUNT(*) AS cnt
+                           FROM chem_cand GROUP BY doc_id, cand),
+            chem_win AS (
+              SELECT doc_id, mid, cand FROM (
+                SELECT c.*, ROW_NUMBER() OVER (
+                       PARTITION BY c.doc_id, c.mid
+                       ORDER BY v.cnt DESC, c.ord ASC) AS rn
+                FROM chem_cand c JOIN chem_votes v USING (doc_id, cand))
+              WHERE rn = 1),
+            kept AS (
+              SELECT doc_id, mid, org_id AS ident FROM org_final
+              UNION ALL SELECT doc_id, mid, cand FROM chem_win
+              UNION ALL SELECT doc_id, mid, cand FROM gene_win
+                        WHERE cand <> '-'
+              UNION ALL SELECT doc_id, mid, cand FROM var_win)
+            SELECT m.doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY m.doc_id
+                        ORDER BY m.mid) - 1 AS INTEGER) AS mention_id,
+                   m.label, m.text, m.s AS "start", m.e AS "end",
+                   k.ident AS identifier
+            FROM men m JOIN kept k
+                 ON m.doc_id = k.doc_id AND m.mid = k.mid
         """,
         "kg_extract_text": f"""
             SELECT 'https://example.org/doc/' || doc_id AS url,

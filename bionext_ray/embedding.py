@@ -50,6 +50,16 @@ def embed_batch(texts: list[str], dim: int = DIM) -> np.ndarray:
     return np.stack([embed_text(t, dim) for t in texts])
 
 
+def zero_embed_batch(texts: list[str], dim: int = DIM) -> np.ndarray:
+    """All-zero embedder: every cosine scores 0 < threshold, so EVERY
+    embedding tier (chem/disease/cell shards AND the per-tax gene matrix)
+    is provably inert. Used by the dictionary-tier-only linked-mentions
+    query, whose SQL oracle models only the dict cascade + votes — the
+    zero embedder turns that restriction into a property of the pipeline
+    instead of an assumption about the corpus."""
+    return np.zeros((len(texts), dim), dtype=np.float32)
+
+
 def build_kb_matrix(alias_texts: list[str], dim: int = DIM) -> np.ndarray:
     """Row-aligned, row-normalized KB embedding matrix (the `.npy` analog of
     /root/reference/src/linker/chemicals.py:59-62)."""
