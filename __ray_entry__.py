@@ -157,8 +157,10 @@ def q_lang_id(sf_dir: str):
 
 
 def q_lang_id_ngram(sf_dir: str):
-    """Character-trigram language ID (rows-only: set-intersection scoring
-    is not SQL-expressible; determinism pinned by tests)."""
+    """Character-trigram language ID: coverage of each doc's distinct
+    trigrams by fixed per-language profiles, integer ppm, argmax with
+    first-in-sorted-order ties, 'und' floor — all mirrored in SQL (the
+    profiles are config VALUES, coverage a join + count)."""
     from bionext_ray.ops.textstats import lang_id_ngram_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lang_id_ngram_batch, batch_format="pyarrow")
@@ -1419,9 +1421,11 @@ def q_pack_chunks(sf_dir: str):
 
 
 def q_pack_bins(sf_dir: str):
-    """Next-fit no-straddle bin packing placement (rows-only: the
-    reset-on-overflow recurrence is not a closed-form window function;
-    pinned by tests/test_packing.py against a plain-Python reference)."""
+    """Next-fit no-straddle bin packing placement. The reset-on-overflow
+    recurrence is not a closed-form window function, but it IS a
+    recursive CTE (one step per doc rank within a shard), so the oracle
+    replays the exact greedy placement in SQL; also pinned by
+    tests/test_packing.py against a plain-Python reference."""
     from bionext_ray.ops.packing import pack_bins_nextfit
     from bionext_ray.ops.relational import estimate_partitions
     from bionext_ray.ops.textstats import token_count_batch
@@ -2435,6 +2439,12 @@ def oracle_sql() -> dict[str, str]:
 
     _kg_kb = _kg_kb_values()
 
+    def _lang_profile_values() -> str:
+        from bionext_ray.ops.textstats import _LANG_PROFILES
+        return ", ".join(f"('{lg}', '{g}')"
+                         for lg in sorted(_LANG_PROFILES)
+                         for g in sorted(_LANG_PROFILES[lg]))
+
     return {
         # Full oracle for the flagship tagger stage (see _kg_mention_ctes
         # for the derivation); identifier is the tagger's un-linked '-'.
@@ -2613,6 +2623,109 @@ def oracle_sql() -> dict[str, str]:
                    k.ident AS identifier
             FROM men m JOIN kept k
                  ON m.doc_id = k.doc_id AND m.mid = k.mid
+        """,
+        # End-to-end recall oracle: the SQL enumerates ALL unordered pairs
+        # with word-trigram Jaccard >= 0.5 (distinct-string trigrams ==
+        # the engine's hashed-trigram sets absent 63-bit collisions); the
+        # engine emits LSH candidates that survive exact verification, so
+        # a match additionally asserts 100% LSH recall at this threshold
+        # on the fixture corpus (16 bands x 4 rows; recall at J=0.5 is
+        # probabilistic in general — this oracle is corpus-pinned, which
+        # is exactly what the driver's fixed sf inputs provide).
+        "neardup_verified": """
+            WITH w AS (SELECT doc_id,
+                              string_split(lower(COALESCE(text, '')), ' ')
+                                  AS l
+                       FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, UNNEST(list_transform(range(1, len(l) - 1),
+                    i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))
+                    AS gram
+                FROM w WHERE len(l) >= 3)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams
+                      GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             COUNT(*) AS i
+                      FROM grams a JOIN grams b
+                           ON a.gram = b.gram AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT i.id_a, i.id_b,
+                   CAST(FLOOR((CAST(i.i AS DOUBLE)
+                        / (sa.n + sb.n - i.i)) * 1000000.0) AS BIGINT)
+                       AS jaccard_micro
+            FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+                 JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE 2 * i.i >= sa.n + sb.n - i.i
+        """,
+        # The next-fit recurrence replayed exactly: one recursion step per
+        # doc rank within a shard (docs in id order), carrying (bin, fill);
+        # a doc that does not fit opens a new bin with fill reset — the
+        # same greedy walk the engine's per-shard searchsorted performs.
+        "pack_bins": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(COALESCE(text, ''),
+                          '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
+              FROM documents),
+            base AS (SELECT doc_id, abs(doc_id) % 64 AS shard, n_tokens,
+                            ROW_NUMBER() OVER (
+                                PARTITION BY abs(doc_id) % 64
+                                ORDER BY doc_id) AS rn
+                     FROM toks),
+            rec AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+                     CASE WHEN r.fill + b.n_tokens <= 512 THEN r.bin_id
+                          ELSE r.bin_id + 1 END,
+                     CASE WHEN r.fill + b.n_tokens <= 512
+                          THEN r.fill + b.n_tokens
+                          ELSE b.n_tokens END
+              FROM rec r JOIN base b
+                   ON b.shard = r.shard AND b.rn = r.rn + 1)
+            SELECT shard, doc_id, n_tokens, bin_id,
+                   n_tokens > 512 AS oversize
+            FROM rec
+        """,
+        # Trigram language-ID mirrored exactly: per-language profile
+        # trigrams are config VALUES; coverage = 1e6 * |doc grams /\\
+        # profile| // |doc grams|; argmax with ties to the earlier
+        # language in sorted order; 'und' floor at 120000 ppm.
+        "lang_id_ngram": f"""
+            WITH d AS (SELECT doc_id,
+                              ' ' || lower(COALESCE(text, '')) || ' ' AS t
+                       FROM documents),
+            nums AS (SELECT CAST(unnest(range(1,
+                         (SELECT MAX(length(t)) FROM d) + 1)) AS BIGINT)
+                         AS p),
+            g AS (SELECT DISTINCT doc_id,
+                         substr(t, CAST(p AS INTEGER), 3) AS gram
+                  FROM d JOIN nums ON p + 2 <= length(t)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM g
+                      GROUP BY doc_id),
+            prof(lang, gram) AS (VALUES {_lang_profile_values()}),
+            langs AS (SELECT DISTINCT lang FROM prof),
+            cov AS (
+              SELECT s.doc_id, l.lang,
+                     1000000 * COALESCE(i.i, 0) // s.n AS cov
+              FROM sizes s CROSS JOIN langs l
+              LEFT JOIN (SELECT g.doc_id, p.lang, COUNT(*) AS i
+                         FROM g JOIN prof p ON g.gram = p.gram
+                         GROUP BY g.doc_id, p.lang) i
+                   ON i.doc_id = s.doc_id AND i.lang = l.lang),
+            best AS (
+              SELECT doc_id, lang, cov FROM (
+                SELECT c.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY cov DESC, lang ASC) AS rn FROM cov c)
+              WHERE rn = 1)
+            SELECT d.doc_id,
+                   CASE WHEN b.cov IS NULL OR b.cov < 120000 THEN 'und'
+                        ELSE b.lang END AS lang_pred,
+                   CAST(COALESCE(b.cov, 0) AS BIGINT) AS coverage_ppm
+            FROM d LEFT JOIN best b USING (doc_id)
         """,
         "kg_extract_text": f"""
             SELECT 'https://example.org/doc/' || doc_id AS url,
