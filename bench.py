@@ -45,6 +45,26 @@ def _run_bench() -> dict:
         pq.read_table(f"{sf_dir}/{t}.parquet")
 
     queries = entrymod.queries()
+
+    # headline FIRST, before the operator sweep: measured in a known
+    # session state (fresh session, page cache warm) so round-over-round
+    # headline numbers are comparable — measured after a 65-query sweep
+    # they absorb arbitrary session/host drift (round-4 lesson: a 26%
+    # apparent regression that the solo protocol showed was sweep
+    # position, not code). Best of 3: the first execution carries ~2 s of
+    # fixed startup (worker imports + actor-pool ramp) a production job
+    # amortizes; all runs are recorded alongside the min.
+    import pyarrow.parquet as pq2
+    n_pages = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    runs = []
+    n_triples = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        canon = queries["kg_canonical_triples"](sf_dir)
+        n_triples = canon.count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    headline = min(runs)
+
     bench_queries = [
         "kg_triples", "dedup_exact", "minhash_candidates", "simhash",
         "simsearch_topk", "pricing_summary", "top_customers",
@@ -66,6 +86,10 @@ def _run_bench() -> dict:
         "ngram_docfreq", "boilerplate", "oov_rate", "hits",
         "crawl_latest", "cocitation", "corpus_curation", "url_stats",
         "pagerank_weighted", "normalize_text", "top_phrases",
+        # round-5 oracle-gated additions (appended: sweep order stays
+        # stable across rounds so per-query timings are comparable)
+        "kg_mentions", "kg_linked_dict", "neardup_verified", "pack_bins",
+        "lang_id_ngram",
     ]
 
     per_query = {}
@@ -78,27 +102,12 @@ def _run_bench() -> dict:
             n = len(res)
         per_query[name] = round(time.perf_counter() - t0, 3)
 
-    # headline: full pipeline to canonical triples (includes the shuffle),
-    # best of 3 — the FIRST execution in a session carries ~2 s of fixed
-    # startup (worker imports + actor-pool ramp) that a long-running
-    # production job amortizes, and the host shows ±30% run-to-run noise;
-    # all runs are recorded alongside the min
-    import pyarrow.parquet as pq2
-    n_pages = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    runs = []
-    n_triples = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        canon = queries["kg_canonical_triples"](sf_dir)
-        n_triples = canon.count()
-        runs.append(round(time.perf_counter() - t0, 3))
-    headline = min(runs)
-
     result = {
         "metric": "kg_pipeline_e2e",
         "value": round(headline, 3),
         "unit": "sec",
         "headline_runs": runs,
+        "headline_position": "pre-sweep",
         "queries": per_query,
         "sf": sf_dir,
         "num_cpus": num_cpus,
