@@ -2047,16 +2047,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS sweep records roughly the
-    # first 50 entries. Window budget (5 kg + 10 round-4-new + 21
-    # never-driver-checked + 4 rotation slots = 40, then the r02-green
-    # veterans fill the remaining ~10): flagship kg_* first, then
-    # everything new this round, then the 21 r3-new operators that have
-    # never received a driver row, then the queries whose implementation
-    # was touched this round (fingerprint revert, triangles broadcast
-    # path, pagerank/dedup via shared exchanges). r02 veterans follow
-    # (the first ~10 land in the window and rotate forward across
-    # rounds); long-green r03 veterans sit at the tail.
-    return {
+    # first 50 entries; _R5_WINDOW below reorders the dict so no query
+    # goes >2 rounds without a driver row. The dict itself stays grouped
+    # by theme for readability — the window list is the rotation.
+    q = {
         "kg_mentions": q_kg_mentions,
         "kg_linked_dict": q_kg_linked_dict,
         "kg_extract_text": q_kg_extract_text,
@@ -2168,6 +2162,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type": q_events_mode_type,
         "events_quantiles_cont": q_events_quantiles_cont,
     }
+    # Round-5 driver window (~first 50 entries get a CORRECTNESS row):
+    # kg flagship block (incl. the two new hard oracles) -> the three
+    # rows-only queries converted to SQL this round -> everything with NO
+    # driver row in r3 or r4 -> the oldest r3-green veterans, so nothing
+    # goes more than two rounds unverified. Entries not listed keep their
+    # dict order at the tail (all driver-green in r4).
+    window = [
+        "kg_mentions", "kg_linked_dict", "kg_extract_text",
+        "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
+        "neardup_verified", "pack_bins", "lang_id_ngram",
+        # no driver row in r3 or r4
+        "events_last_order", "kg_stage_counts", "neardup_clusters",
+        "multimodal_features", "multimodal_frames", "tfidf_top_terms",
+        "distinct_users_kmv", "events_quantiles", "stratified_sample",
+        "image_features", "audio_features", "video_frames",
+        # last green r3 (two rounds ago), oldest first
+        "simhash", "simsearch_topk", "token_count", "bpe_token_count",
+        "lang_id", "quality", "sample_documents", "training_mix",
+        "inverted_index", "top_docs_per_lang", "domain_stats",
+        "term_counts", "ner_prf", "train_example_dedup",
+        "minhash_candidates", "simsearch_lsh", "simsearch_ivf",
+        "embedding_neardup", "embedding_pairs_exact", "pricing_summary",
+        "kg_pagerank", "kg_components", "degree_dist",
+        "custkeys_no_orders_setop", "nations_both_sides", "orders_rollup",
+        "orders_cube", "pack_chunks", "priority_revenue",
+    ]
+    assert all(k in q for k in window), \
+        [k for k in window if k not in q]
+    ordered = {k: q[k] for k in window}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -40,6 +40,14 @@ from collections import defaultdict
 
 from ..kb import KnowledgeBase
 
+# entity label -> linker family (both reference label spellings accepted,
+# same alternatives as the per-stage tuples below)
+_LABEL2FAM = {"OrganismTaxon": "org", "Organism": "org",
+              "ChemicalEntity": "chem", "Chemical": "chem",
+              "DiseaseOrPhenotypicFeature": "dis", "Disease": "dis",
+              "GeneOrGeneProduct": "gene", "Gene": "gene",
+              "SequenceVariant": "var", "CellLine": "cell"}
+
 
 def majority_vote(mentions: list[dict], labels: tuple[str, ...],
                   correction: dict[str, str] | None = None,
@@ -48,26 +56,31 @@ def majority_vote(mentions: list[dict], labels: tuple[str, ...],
     candidate appearing in the most mentions; ties break to the first
     candidate in list order (Python max first-wins,
     /root/reference/src/linker/taxonomy.py:76-92)."""
+    # one filtering pass; families with no list-valued mentions (votes
+    # already resolved or nothing linked) exit before any counting work —
+    # the vote runs 6x per doc, so the empty case is the hot case
+    targets = [m for m in mentions
+               if m["label"] in labels and isinstance(m["linked"], list)]
+    if not targets:
+        return
     id_entities: dict[str, list] = defaultdict(list)
-    for m in mentions:
-        if m["label"] in labels and isinstance(m["linked"], list):
-            for lid in m["linked"]:
-                id_entities[lid].append(m["id"])
-    for m in mentions:
-        if m["label"] in labels and isinstance(m["linked"], list):
-            # pre-vote candidate list preserved for the linked_mentions
-            # `identifiers` column (SURVEY §1.2) — the vote collapses
-            # `linked` to one id, but debugging a bad link needs what it
-            # chose from
-            m["candidates"] = list(m["linked"])
-            cands = [(lid, len(id_entities[lid])) for lid in m["linked"]]
-            if guard_empty and not cands:
-                m["linked"] = "-"
-                continue
-            best, _ = max(cands, key=lambda x: x[1])
-            if correction and best in correction:
-                best = correction[best]
-            m["linked"] = best
+    for m in targets:
+        for lid in m["linked"]:
+            id_entities[lid].append(m["id"])
+    for m in targets:
+        # pre-vote candidate list preserved for the linked_mentions
+        # `identifiers` column (SURVEY §1.2) — the vote collapses
+        # `linked` to one id, but debugging a bad link needs what it
+        # chose from
+        m["candidates"] = list(m["linked"])
+        cands = [(lid, len(id_entities[lid])) for lid in m["linked"]]
+        if guard_empty and not cands:
+            m["linked"] = "-"
+            continue
+        best, _ = max(cands, key=lambda x: x[1])
+        if correction and best in correction:
+            best = correction[best]
+        m["linked"] = best
 
 
 class EmbeddingIndex:
@@ -137,83 +150,91 @@ def link_document(mentions: list[dict], kb: KnowledgeBase,
     """Run the full linker over one document's mentions (in offset order).
     Mutates ``linked`` in place; returns the cleaned mention list."""
 
+    # ONE label-partition pass (order within each family = doc offset
+    # order, which the nearest-organism/nearest-gene first-wins ties rely
+    # on) instead of six full-mention scans — the scans were the linker's
+    # top per-doc cost after the embedding memo warms
+    fams: dict[str, list] = {"org": [], "chem": [], "dis": [], "gene": [],
+                             "var": [], "cell": []}
+    for m in mentions:
+        f = _LABEL2FAM.get(m["label"])
+        if f is not None:
+            fams[f].append(m)
+
     # ---- taxonomy (taxonomy.py:67-92)
     tax_direct = kb.direct.get("OrganismTaxon", {})
-    for m in mentions:
-        if m["label"] in ("OrganismTaxon", "Organism",):
-            if m["text"] in tax_direct:
-                m["linked"] = [tax_direct[m["text"]][0]] if isinstance(
-                    tax_direct[m["text"]], list) else [tax_direct[m["text"]]]
-            elif m["text"].lower() in kb.taxonomy:
-                m["linked"] = list(kb.taxonomy[m["text"].lower()])
-    majority_vote(mentions, ("OrganismTaxon", "Organism"), correction=kb.manual_correction)
+    for m in fams["org"]:
+        if m["text"] in tax_direct:
+            m["linked"] = [tax_direct[m["text"]][0]] if isinstance(
+                tax_direct[m["text"]], list) else [tax_direct[m["text"]]]
+        elif m["text"].lower() in kb.taxonomy:
+            m["linked"] = list(kb.taxonomy[m["text"].lower()])
+    majority_vote(fams["org"], ("OrganismTaxon", "Organism"),
+                  correction=kb.manual_correction)
 
     # ---- chemicals / diseases (order matters only for lineage; doc-local)
-    _link_dict_then_emb(mentions, ("ChemicalEntity", "Chemical"),
+    _link_dict_then_emb(fams["chem"], ("ChemicalEntity", "Chemical"),
                         kb.direct.get("ChemicalEntity", {}), chem_idx)
-    majority_vote(mentions, ("ChemicalEntity", "Chemical"))
-    _link_dict_then_emb(mentions, ("DiseaseOrPhenotypicFeature", "Disease"),
+    majority_vote(fams["chem"], ("ChemicalEntity", "Chemical"))
+    _link_dict_then_emb(fams["dis"], ("DiseaseOrPhenotypicFeature", "Disease"),
                         kb.direct.get("DiseaseOrPhenotypicFeature", {}), dis_idx)
-    majority_vote(mentions, ("DiseaseOrPhenotypicFeature", "Disease"))
+    majority_vote(fams["dis"], ("DiseaseOrPhenotypicFeature", "Disease"))
 
     # ---- genes (genes.py:107-160)
-    organism_ids = [(m["linked"], m["start_span"]) for m in mentions
-                    if m["label"] in ("OrganismTaxon", "Organism",)]
+    organism_ids = [(m["linked"], m["start_span"]) for m in fams["org"]]
     if not organism_ids:
         organism_ids.append(("9606", 0))
-    for m in mentions:
-        if m["label"] in ("GeneOrGeneProduct", "Gene",):
-            distance = 10_000_000
-            nearest_org = "9606"  # deviation: reference leaks the loop var
-            for org_id, org_start in organism_ids:
-                if abs(m["start_span"] - org_start) < distance and org_id in kb.genes:
-                    distance = abs(m["start_span"] - org_start)
-                    nearest_org = org_id
-            m["pred_tax"] = nearest_org
-            prediction: list[str] = []
-            per_tax_direct = kb.direct.get("GeneOrGeneProduct", {}).get(nearest_org, {})
-            if not prediction and m["text"].lower() in per_tax_direct:
-                prediction.extend(list(per_tax_direct[m["text"].lower()]))
-            if not prediction and m["text"].lower() in kb.genes.get(nearest_org, {}):
-                prediction.extend(sorted(set(kb.genes[nearest_org][m["text"].lower()])))
-            if not prediction and nearest_org in kb.gene_emb:
-                prediction.append(gene_emb_lookup(m["text"], nearest_org))
-            if not prediction and m["text"].lower() in kb.backup_gene:
-                prediction.extend(kb.backup_gene[m["text"].lower()])
-            m["linked"] = prediction if prediction else "-"
-    majority_vote(mentions, ("GeneOrGeneProduct", "Gene"))
+    for m in fams["gene"]:
+        distance = 10_000_000
+        nearest_org = "9606"  # deviation: reference leaks the loop var
+        for org_id, org_start in organism_ids:
+            if abs(m["start_span"] - org_start) < distance and org_id in kb.genes:
+                distance = abs(m["start_span"] - org_start)
+                nearest_org = org_id
+        m["pred_tax"] = nearest_org
+        prediction: list[str] = []
+        per_tax_direct = kb.direct.get("GeneOrGeneProduct", {}).get(nearest_org, {})
+        if not prediction and m["text"].lower() in per_tax_direct:
+            prediction.extend(list(per_tax_direct[m["text"].lower()]))
+        if not prediction and m["text"].lower() in kb.genes.get(nearest_org, {}):
+            prediction.extend(sorted(set(kb.genes[nearest_org][m["text"].lower()])))
+        if not prediction and nearest_org in kb.gene_emb:
+            prediction.append(gene_emb_lookup(m["text"], nearest_org))
+        if not prediction and m["text"].lower() in kb.backup_gene:
+            prediction.extend(kb.backup_gene[m["text"].lower()])
+        m["linked"] = prediction if prediction else "-"
+    majority_vote(fams["gene"], ("GeneOrGeneProduct", "Gene"))
 
     # ---- sequence variants (seq_variant.py:386-481)
-    gene_ids = [(m["linked"], m["start_span"]) for m in mentions
-                if m["label"] in ("GeneOrGeneProduct", "Gene",)]
-    for m in mentions:
-        if m["label"] in ("SequenceVariant",):
-            nearest_g = None
-            distance = 10_000_000
-            for gid, gstart in gene_ids:
-                if abs(m["start_span"] - gstart) < distance:
-                    distance = abs(m["start_span"] - gstart)
-                    nearest_g = gid
-            m["pred_gene"] = nearest_g
-            prediction = []
-            if m["text"].lower().startswith("rs"):
-                prediction = [m["text"].lower()]
-            norm = m["text"].replace("/", ">").replace("--", "").replace(" ", "")
-            if not prediction and nearest_g in kb.gene_lookup:
-                symbol = kb.gene_lookup[nearest_g]
-                prediction = list(kb.variant_lookup.get(f"{norm} {symbol}", []))
-            if not prediction and llm_predict is not None:
-                # optional few-shot LLM tier (seq_variant.py:445-453):
-                # mention text codon-normalized, gene as symbol if known
-                from .variant_norm import convert_amino_acids
-                sym = kb.gene_lookup.get(nearest_g, nearest_g)
-                prediction = [llm_predict(convert_amino_acids(norm), str(sym))]
-            m["linked"] = prediction
-    majority_vote(mentions, ("SequenceVariant",), guard_empty=True)
+    gene_ids = [(m["linked"], m["start_span"]) for m in fams["gene"]]
+    for m in fams["var"]:
+        nearest_g = None
+        distance = 10_000_000
+        for gid, gstart in gene_ids:
+            if abs(m["start_span"] - gstart) < distance:
+                distance = abs(m["start_span"] - gstart)
+                nearest_g = gid
+        m["pred_gene"] = nearest_g
+        prediction = []
+        if m["text"].lower().startswith("rs"):
+            prediction = [m["text"].lower()]
+        norm = m["text"].replace("/", ">").replace("--", "").replace(" ", "")
+        if not prediction and nearest_g in kb.gene_lookup:
+            symbol = kb.gene_lookup[nearest_g]
+            prediction = list(kb.variant_lookup.get(f"{norm} {symbol}", []))
+        if not prediction and llm_predict is not None:
+            # optional few-shot LLM tier (seq_variant.py:445-453):
+            # mention text codon-normalized, gene as symbol if known
+            from .variant_norm import convert_amino_acids
+            sym = kb.gene_lookup.get(nearest_g, nearest_g)
+            prediction = [llm_predict(convert_amino_acids(norm), str(sym))]
+        m["linked"] = prediction
+    majority_vote(fams["var"], ("SequenceVariant",), guard_empty=True)
 
     # ---- cell lines (cells.py, same cascade as chemicals)
-    _link_dict_then_emb(mentions, ("CellLine",), kb.direct.get("CellLine", {}), cell_idx)
-    majority_vote(mentions, ("CellLine",))
+    _link_dict_then_emb(fams["cell"], ("CellLine",),
+                        kb.direct.get("CellLine", {}), cell_idx)
+    majority_vote(fams["cell"], ("CellLine",))
 
     # ---- cleaner (cleaner.py:5-30): drop unlinked, renumber per doc
     cleaned = []

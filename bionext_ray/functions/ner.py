@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from ..constants import ID2LABEL_ENTITY
 from ..gazetteer import GazetteerMatcher
-from ..rangedict import merge_overlapping
 from ..windows import bio_labels, decode_doc, make_windows, window_annotations
 
 
@@ -51,7 +50,15 @@ def tag_document(text: str, matcher: GazetteerMatcher) -> list[dict]:
     n_tokens = count_tokens(text)
     if n_tokens == 0:
         return []
-    matches = merge_overlapping(matcher.find_mentions(text), text)
+    # Light span tuples, not annotation dicts: at ~18 mentions/doc the
+    # dict construction dominated the regex scan itself. The reference's
+    # collision merge (M1, rangedict.merge_overlapping) is SKIPPED here
+    # because finditer matches are non-overlapping by construction, which
+    # makes the merge provably the identity (span_collision is always 0
+    # and get_all_annotations returns insertion order) — it still runs on
+    # model-backend paths, where overlapping predictions are possible.
+    spans = matcher.find_spans(text)
+    n = len(text)
     # Token-alignment guard: the regex word boundary ([a-z0-9] lookarounds)
     # and the tokenizer's token class ([A-Za-z0-9_]) differ in exactly one
     # character — '_'. A match touching an underscore is NOT token-aligned
@@ -59,9 +66,8 @@ def tag_document(text: str, matcher: GazetteerMatcher) -> list[dict]:
     # it, and the fast-path identity would not hold — so fall through to
     # the full windows path for such (rare) documents.
     aligned = all(
-        (m["start_span"] == 0 or text[m["start_span"] - 1] != "_")
-        and (m["end_span"] >= len(text) or text[m["end_span"]] != "_")
-        for m in matches)
+        (s == 0 or text[s - 1] != "_") and (e >= n or text[e] != "_")
+        for s, e, _ in spans)
     if aligned and n_tokens <= CENTER_TOKENS:   # exactly one window
         # reference-decoder quirk, reproduced faithfully: a B label flushes
         # the previous span using the ALREADY-UPDATED current class
@@ -69,17 +75,20 @@ def tag_document(text: str, matcher: GazetteerMatcher) -> list[dict]:
         # (no O between) takes the NEXT span's class. Token-adjacency ==
         # the gap between the (token-aligned) spans is all-whitespace: any
         # non-space gap char would itself tokenize and sit between them.
+        gaz = matcher.gazetteer
         out = []
-        for i, m in enumerate(matches):
-            label = m["label"]
-            if i + 1 < len(matches):
-                nxt = matches[i + 1]
-                if not text[m["end_span"]:nxt["start_span"]].strip():
-                    label = nxt["label"]
-            out.append({"id": str(i), "label": label, "text": m["text"],
-                        "start_span": m["start_span"],
-                        "end_span": m["end_span"], "linked": "-"})
+        for i, (s, e, low) in enumerate(spans):
+            if i + 1 < len(spans) and not text[e:spans[i + 1][0]].strip():
+                label = gaz[spans[i + 1][2]]
+            else:
+                label = gaz[low]
+            out.append({"id": str(i), "label": label, "text": text[s:e],
+                        "start_span": s, "end_span": e, "linked": "-"})
         return out
+    gaz = matcher.gazetteer
+    matches = [{"id": str(i), "label": gaz[low], "text": text[s:e],
+                "start_span": s, "end_span": e}
+               for i, (s, e, low) in enumerate(spans)]
     windows = make_windows(text)
     # the surrogate "model": gazetteer matches play the role of the CRF's
     # per-window predictions

@@ -202,15 +202,19 @@ def relations_from_scores(samples: list[dict], rels: np.ndarray,
     """Phase 2 output shaping: apply the pre-fusion Negative_Class filter
     (/root/reference/src/extractor/__init__.py:80-82) and keep the logits
     the fusion needs."""
+    # one axis-argmax over the whole sample batch (np.argmax ties break to
+    # the first maximum on both the scalar and vector paths)
+    rel_cls = np.argmax(rels, axis=1) if len(samples) else np.zeros(0, int)
+    nov_cls = np.argmax(novs, axis=1) if len(samples) else np.zeros(0, int)
     doc_relations = []
-    for s, rel, nov in zip(samples, rels, novs):
-        rel_class = int(np.argmax(rel))
+    for i, s in enumerate(samples):
+        rel_class = int(rel_cls[i])
         if rel_class != NEGATIVE_CLASS:
             doc_relations.append({
                 "entity1": s["entity1"], "entity2": s["entity2"],
-                "label": rel_class, "novel": int(np.argmax(nov)),
+                "label": rel_class, "novel": int(nov_cls[i]),
                 "sequence_id": s["sequence_id"],
-                "relation_logits": rel, "novel_logits": nov,
+                "relation_logits": rels[i], "novel_logits": novs[i],
             })
     return doc_relations
 
@@ -222,8 +226,8 @@ def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]
     samples = generate_pair_samples(doc_id, text, mentions)
     if not samples:
         return []
-    scored = [relation_logits(s["doc_id"], s["entity1"], s["entity2"],
-                              s["sequence_id"]) for s in samples]
-    rels = np.array([r for r, _ in scored])
-    novs = np.array([n for _, n in scored])
+    from ..scorer import relation_logits_batch
+    rels, novs = relation_logits_batch(
+        [f"{s['doc_id']}|{s['entity1']}|{s['entity2']}|{s['sequence_id']}"
+         for s in samples])
     return fuse_doc_relations(doc_id, relations_from_scores(samples, rels, novs))

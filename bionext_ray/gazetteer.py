@@ -32,16 +32,23 @@ class GazetteerMatcher:
         self._re = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])",
                               re.IGNORECASE | re.ASCII)
 
+    def find_spans(self, text: str) -> list[tuple[int, int, str]]:
+        """All non-overlapping matches as (start, end, lowered surface)
+        tuples — the allocation-light form the hot tagger path consumes
+        (the full annotation dicts of ``find_mentions`` cost more to build
+        than the regex scan itself at corpus scale)."""
+        return [(m.start(), m.end(), m.group(0).lower())
+                for m in self._re.finditer(text)]
+
     def find_mentions(self, text: str) -> list[dict]:
         """All non-overlapping matches as annotation dicts with absolute char
         spans — the shape the tagger decoder emits
         (/root/reference/src/tagger/__init__.py:122-135)."""
         out = []
-        for i, m in enumerate(self._re.finditer(text)):
-            s, e = m.span()
+        for i, (s, e, low) in enumerate(self.find_spans(text)):
             out.append({
                 "id": str(i),
-                "label": self.gazetteer[m.group(0).lower()],
+                "label": self.gazetteer[low],
                 "text": text[s:e],
                 "start_span": s,
                 "end_span": e,

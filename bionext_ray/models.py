@@ -33,7 +33,6 @@ from __future__ import annotations
 import numpy as np
 
 from .constants import MODEL_MAX_LENGTH, label2int
-from .scorer import relation_logits
 from .tokenization import MARKER_IDS, PAD_ID, encode
 
 
@@ -203,16 +202,11 @@ class SurrogateExtractorBackend:
     wants_inputs = False
 
     def __call__(self, features: dict, metadata: dict):
-        n = len(metadata["doc_id"])
-        rels = np.empty((n, 9), dtype=np.float64)
-        novs = np.empty((n, 2), dtype=np.float64)
-        for i in range(n):
-            r, nv = relation_logits(
-                metadata["doc_id"][i], metadata["entity1"][i],
-                metadata["entity2"][i], metadata["sequence_id"][i])
-            rels[i] = r
-            novs[i] = nv
-        return rels, novs
+        from .scorer import relation_logits_batch
+        return relation_logits_batch(
+            [f"{d}|{e1}|{e2}|{sq}" for d, e1, e2, sq in
+             zip(metadata["doc_id"], metadata["entity1"],
+                 metadata["entity2"], metadata["sequence_id"])])
 
 
 class TorchExtractorBackend:

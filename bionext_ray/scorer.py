@@ -43,6 +43,31 @@ def relation_logits(doc_id: str, entity1: str, entity2: str,
     return rel, nov
 
 
+def relation_logits_batch(keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Batched ``relation_logits``: one digest per key as before (blake2b
+    is the per-sample floor), but ONE frombuffer + vectorized float
+    derivation and boost-add across the batch instead of per-sample numpy
+    call overhead (measured ~2x on the extractor stage). Bit-identical to
+    the scalar path: same bytes, same float64 ops.
+
+    Returns (rel (n, 9), nov (n, 2))."""
+    n = len(keys)
+    if n == 0:
+        return (np.zeros((0, 9)), np.zeros((0, 2)))
+    digests = b"".join(
+        hashlib.blake2b(k.encode("utf-8"), digest_size=48).digest()
+        for k in keys)
+    raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 48)
+    v = np.frombuffer(digests, dtype="<u4").reshape(n, 12)[:, :11] \
+        .astype(np.float64) / 2**32
+    rel = np.ascontiguousarray(v[:, :9])
+    nov = np.ascontiguousarray(v[:, 9:11])
+    rows = np.arange(n)
+    rel[rows, raw[:, 44] % 9] += 4.0
+    nov[rows, raw[:, 45] % 2] += 4.0
+    return rel, nov
+
+
 def softmax(x: np.ndarray) -> np.ndarray:
     e = np.exp(x - np.max(x))
     return e / e.sum()
