@@ -842,8 +842,10 @@ def q_image_neardup(sf_dir: str):
     """Multimodal near-dup: deterministic BMPs per doc (docs ≡ same value
     mod 40 render near-identical patterns with small doc-specific noise),
     aHash on an actor pool, top-bit buckets, exact in-bucket Hamming
-    verify ≤ 6. Rows-only (no SQL BMP decoder); pinned by
-    tests/test_multimodal.py round-trip + recall tests."""
+    verify ≤ 6. The fixture image is a pure function of doc_id, so the
+    whole decode -> aHash -> bucket -> verify path has an exact SQL
+    oracle (the engine round-trips real BMP bytes; the oracle recomputes
+    the arithmetic); also pinned by tests/test_multimodal.py."""
     from bionext_ray.ops.multimodal import encode_bmp, image_neardup_pairs
     ds = _read(sf_dir, "documents", ["doc_id"])
 
@@ -2171,7 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     window = [
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
-        "neardup_verified", "pack_bins", "lang_id_ngram",
+        "neardup_verified", "pack_bins", "lang_id_ngram", "image_neardup",
         # no driver row in r3 or r4
         "events_last_order", "kg_stage_counts", "neardup_clusters",
         "multimodal_features", "multimodal_frames", "tfidf_top_terms",
@@ -2464,6 +2466,22 @@ def oracle_sql() -> dict[str, str]:
 
     _kg_kb = _kg_kb_values()
 
+    def _bmp_lum(r_expr: str, c_expr: str) -> str:
+        """Integer luma (3x-scaled channel sum) of the image_neardup
+        fixture checkerboard at (r, c): all three channels equal except
+        the (0,0) noise pixel (channel 0 = doc_id % 256, others 0). The
+        fixture BMP is a pure function of doc_id, so the aHash — and with
+        it the whole decode -> hash -> bucket -> Hamming-verify path — is
+        SQL-derivable; the engine really round-trips the bytes through
+        the BMP codec, the oracle recomputes the arithmetic."""
+        return (f"(CASE WHEN ({r_expr}) = 0 AND ({c_expr}) = 0 "
+                f"THEN p.noise ELSE 3 * 255 * (((({c_expr}) // p.A) + "
+                f"(({r_expr}) // p.B)) % 2) END)")
+
+    _bmp_cell = " + ".join(
+        _bmp_lum(f"2 * i.i + {dr}", f"2 * j.j + {dc}")
+        for dr in (0, 1) for dc in (0, 1))
+
     def _lang_profile_values() -> str:
         from bionext_ray.ops.textstats import _LANG_PROFILES
         return ", ".join(f"('{lg}', '{g}')"
@@ -2751,6 +2769,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE b.lang END AS lang_pred,
                    CAST(COALESCE(b.cov, 0) AS BIGINT) AS coverage_ppm
             FROM d LEFT JOIN best b USING (doc_id)
+        """,
+        # aHash cells: 2x2 integer-mean blocks of the 16x16 fixture luma,
+        # bits thresholded at the global integer mean; a pair survives iff
+        # the top 16 bits (the engine's hash_bucket) agree exactly AND
+        # total Hamming distance <= 6 — the same block-then-verify rule
+        # image_neardup_pairs applies to the decoded bytes.
+        "image_neardup": f"""
+            WITH p AS (SELECT doc_id, doc_id % 256 AS noise,
+                              1 + (doc_id % 40) % 5 AS A,
+                              1 + ((doc_id % 40) // 5) % 8 AS B
+                       FROM documents),
+            i AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS i),
+            j AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS j),
+            cells AS (
+              SELECT p.doc_id, i.i, j.j, ({_bmp_cell}) // 4 AS cell
+              FROM p CROSS JOIN i CROSS JOIN j),
+            means AS (SELECT doc_id, SUM(cell) // 64 AS m FROM cells
+                      GROUP BY doc_id),
+            bits AS (
+              SELECT c.doc_id, c.i * 8 + c.j AS k,
+                     CASE WHEN c.cell >= ms.m THEN 1 ELSE 0 END AS bit
+              FROM cells c JOIN means ms USING (doc_id)),
+            ham AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS d,
+                     SUM(CASE WHEN a.k < 16 AND a.bit <> b.bit
+                              THEN 1 ELSE 0 END) AS dtop
+              FROM bits a JOIN bits b
+                   ON a.k = b.k AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b, CAST(d AS BIGINT) AS hamming
+            FROM ham WHERE dtop = 0 AND d <= 6
         """,
         "kg_extract_text": f"""
             SELECT 'https://example.org/doc/' || doc_id AS url,
