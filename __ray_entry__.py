@@ -418,6 +418,19 @@ def q_neardup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact substring-dedup span table (Lee et al. 2022): maximal word
+    ranges covered by 5-word shingles occurring >1 time in the corpus —
+    what a curation pipeline cuts before training. Two bucketed
+    exchanges; SQL oracle replays the shingle counts + gaps-and-islands
+    merge."""
+    from bionext_ray.ops.dedup import duplicate_text_spans
+    from bionext_ray.ops.relational import estimate_partitions
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_text_spans(docs, k=5, shuffle_partitions=sp)
+
+
 def q_neardup_verified(sf_dir: str):
     from bionext_ray.ops.dedup import minhash_lsh_candidates, verify_jaccard_pairs
     from bionext_ray.ops.relational import estimate_partitions
@@ -2143,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "neardup_verified": q_neardup_verified,
+        "dup_spans": q_dup_spans,
         "pricing_summary": q_pricing_summary,
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
@@ -2174,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
         "neardup_verified", "pack_bins", "lang_id_ngram", "image_neardup",
+        "dup_spans",
         # no driver row in r3 or r4
         "events_last_order", "kg_stage_counts", "neardup_clusters",
         "multimodal_features", "multimodal_frames", "tfidf_top_terms",
@@ -2666,6 +2681,43 @@ def oracle_sql() -> dict[str, str]:
                    k.ident AS identifier
             FROM men m JOIN kept k
                  ON m.doc_id = k.doc_id AND m.mid = k.mid
+        """,
+        # Substring-dedup spans replayed exactly: 5-word shingles (join of
+        # the split words, engine hashes the same string with md5), grams
+        # with total occurrence count >= 2 mark their positions, and a
+        # LAG/SUM gaps-and-islands window merges adjacent-or-overlapping
+        # shingles (gap > 5 breaks) into maximal (start, end) word ranges.
+        "dup_spans": """
+            WITH w AS (SELECT doc_id,
+                              string_split(lower(COALESCE(text, '')), ' ')
+                                  AS l
+                       FROM documents),
+            nums AS (SELECT CAST(unnest(range(1,
+                         (SELECT MAX(len(l)) FROM w) + 1)) AS BIGINT)
+                         AS i),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                         l[CAST(i AS INTEGER)] || ' ' ||
+                         l[CAST(i + 1 AS INTEGER)] || ' ' ||
+                         l[CAST(i + 2 AS INTEGER)] || ' ' ||
+                         l[CAST(i + 3 AS INTEGER)] || ' ' ||
+                         l[CAST(i + 4 AS INTEGER)] AS gram
+                  FROM w JOIN nums ON i + 4 <= len(l)),
+            dup AS (SELECT gram FROM g GROUP BY gram
+                    HAVING COUNT(*) >= 2),
+            hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            isl AS (SELECT doc_id, pos,
+                           CASE WHEN pos - LAG(pos) OVER (
+                                    PARTITION BY doc_id ORDER BY pos) <= 5
+                                THEN 0 ELSE 1 END AS brk
+                    FROM hits),
+            grpd AS (SELECT doc_id, pos,
+                            SUM(brk) OVER (PARTITION BY doc_id
+                                ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                                AS island
+                     FROM isl)
+            SELECT doc_id, MIN(pos) AS start_word,
+                   MAX(pos) + 5 AS end_word
+            FROM grpd GROUP BY doc_id, island
         """,
         # End-to-end recall oracle: the SQL enumerates ALL unordered pairs
         # with word-trigram Jaccard >= 0.5 (distinct-string trigrams ==

@@ -89,7 +89,7 @@ def _run_bench() -> dict:
         # round-5 oracle-gated additions (appended: sweep order stays
         # stable across rounds so per-query timings are comparable)
         "kg_mentions", "kg_linked_dict", "neardup_verified", "pack_bins",
-        "lang_id_ngram",
+        "lang_id_ngram", "image_neardup", "dup_spans",
     ]
 
     per_query = {}

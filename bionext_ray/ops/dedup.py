@@ -1022,3 +1022,106 @@ def edit_distance_pairs(ds, col: str, shuffle_partitions: int | None = None):
                 pairs.map_batches(tag, batch_format="pyarrow"), P)
             .groupby("__bucket")
             .map_groups(bucket_distinct, batch_format="pandas"))
+
+
+# ------------------------------------------------ exact substring dedup
+def duplicate_text_spans(documents_ds, k: int = 5, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         shuffle_partitions: int | None = None):
+    """Exact substring-dedup spans (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" primitive): every maximal
+    word range covered by k-word shingles that occur MORE THAN ONCE in
+    the corpus (across documents or repeated within one). Curation
+    pipelines cut these ranges out of the training text; this operator
+    emits the range table (id, start_word, end_word exclusive) and leaves
+    the cut to the caller.
+
+    Shape — exactly TWO bucketed exchanges, no suffix array (the shingle
+    formulation is the scalable equivalent for fixed k):
+      1. one (gram-hash-bucket) exchange of fixed-width occurrence rows
+         (gk, id, pos); inside each bucket a vectorized factorize+bincount
+         marks occurrences whose gram count >= 2 — no per-gram Python, no
+         global gram table on the driver;
+      2. one (doc-bucket) exchange of the surviving (id, pos) rows;
+         inside each bucket per-doc sorted positions merge into maximal
+         spans with a cumsum gaps-and-islands scan (adjacent-or-
+         overlapping shingles, gap > k breaks the span).
+    Gram identity is md5 of the space-joined k words — the same
+    SQL-mirrorable digest convention as hash_sample_batch, so the oracle
+    can count the very same keys (it uses the gram string directly;
+    equality holds absent md5 collisions).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from bionext_ray.ops.relational import coalesce_for_exchange
+
+    P = max(16, shuffle_partitions or 0)
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        texts = pc.coalesce(b[text_col], "").to_pylist()
+        ids = b[id_col].to_pylist()
+        out_id, out_pos, out_gk = [], [], []
+        md5 = hashlib.md5
+        for did, t in zip(ids, texts):
+            words = t.lower().split(" ")
+            if len(words) < k:
+                continue
+            for p in range(len(words) - k + 1):
+                gram = " ".join(words[p:p + k])
+                gk = md5(gram.encode("utf-8")).digest()[:8]
+                out_id.append(did)
+                out_pos.append(p)
+                out_gk.append(int.from_bytes(gk, "little", signed=True))
+        bkt = (np.abs(np.array(out_gk, np.int64)) % P
+               if out_gk else np.array([], np.int64))
+        return pa.table({
+            "__bucket": pa.array(bkt, pa.int64()),
+            "gk": pa.array(out_gk, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "pos": pa.array(out_pos, pa.int64()),
+        })
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["gk"].to_numpy())
+        counts = np.bincount(codes)
+        keep = counts[codes] >= 2
+        kept = g[keep]
+        return pd.DataFrame({
+            id_col: kept[id_col].to_numpy(np.int64),
+            "pos": kept["pos"].to_numpy(np.int64)})
+
+    dup_occ = (coalesce_for_exchange(
+                   documents_ds.map_batches(occurrences,
+                                            batch_format="pyarrow"), P)
+               .groupby("__bucket")
+               .map_groups(mark_dups, batch_format="pandas"))
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "__bucket", pa.array(np.abs(ids) % P, pa.int64()))
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        if not len(ids):
+            return pd.DataFrame({id_col: pd.array([], dtype=np.int64),
+                                 "start_word": pd.array([], dtype=np.int64),
+                                 "end_word": pd.array([], dtype=np.int64)})
+        brk = np.r_[True, (ids[1:] != ids[:-1])
+                    | (pos[1:] - pos[:-1] > k)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(ids)] - 1
+        return pd.DataFrame({
+            id_col: ids[starts],
+            "start_word": pos[starts],
+            "end_word": pos[ends] + k})
+
+    return (coalesce_for_exchange(
+                dup_occ.map_batches(tag_doc, batch_format="pyarrow"), P)
+            .groupby("__bucket")
+            .map_groups(merge_spans, batch_format="pandas"))

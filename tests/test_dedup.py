@@ -470,3 +470,32 @@ def test_edit_distance_pairs_matches_bruteforce(ray_session):
         got = edit_distance_pairs(ds, "w").to_pandas()
         assert set(zip(got["word_a"], got["word_b"])) == want
         assert len(got) == len(want)
+
+
+def test_duplicate_text_spans_merges_islands(ray_session):
+    """5-gram 'a b c d e' repeats across docs 1/2; doc 1 has two
+    overlapping duplicated shingles that must merge into ONE maximal
+    span; the unique tail of doc 3 emits nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from bionext_ray.ops.dedup import duplicate_text_spans
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e f unique1 words here a b c d e",
+            "x a b c d e f y",
+            "totally different words no repeats at all ok",
+        ], pa.string()),
+    }))
+    got = duplicate_text_spans(docs, k=5).to_pandas()
+    spans = {(r.doc_id, r.start_word, r.end_word)
+             for r in got.itertuples(index=False)}
+    # doc 1: 'a b c d e f' head (grams at 0,1 overlap -> one span 0..7?)
+    #   gram(0)='a b c d e' (dup with doc1 tail + doc2), gram(1)='b c d e f'
+    #   (dup with doc2) -> merged island [0, 6+... ) and tail gram at 9
+    assert (1, 0, 6) in spans       # head: positions 0,1 -> [0, 1+5)
+    assert (1, 9, 14) in spans      # tail 'a b c d e'
+    assert (2, 1, 7) in spans       # doc2 positions 1,2 -> [1, 2+5)
+    assert not any(d == 3 for d, _, _ in spans)
