@@ -2752,6 +2752,15 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
                  JOIN sizes sb ON i.id_b = sb.doc_id
             WHERE 2 * i.i >= sa.n + sb.n - i.i
+            UNION ALL
+            -- shingle-less docs (<3 words): identical sentinel minhash
+            -- signatures make every such pair an LSH candidate, and the
+            -- engine scores two empty shingle sets as Jaccard 1.0
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   1000000 AS jaccard_micro
+            FROM (SELECT doc_id FROM w WHERE len(l) < 3) a
+                 JOIN (SELECT doc_id FROM w WHERE len(l) < 3) b
+                   ON a.doc_id < b.doc_id
         """,
         # The next-fit recurrence replayed exactly: one recursion step per
         # doc rank within a shard (docs in id order), carrying (bin, fill);

@@ -228,6 +228,6 @@ def extract_document(doc_id: str, text: str, mentions: list[dict]) -> list[dict]
         return []
     from ..scorer import relation_logits_batch
     rels, novs = relation_logits_batch(
-        [f"{s['doc_id']}|{s['entity1']}|{s['entity2']}|{s['sequence_id']}"
+        [(s["doc_id"], s["entity1"], s["entity2"], s["sequence_id"])
          for s in samples])
     return fuse_doc_relations(doc_id, relations_from_scores(samples, rels, novs))

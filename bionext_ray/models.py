@@ -204,9 +204,8 @@ class SurrogateExtractorBackend:
     def __call__(self, features: dict, metadata: dict):
         from .scorer import relation_logits_batch
         return relation_logits_batch(
-            [f"{d}|{e1}|{e2}|{sq}" for d, e1, e2, sq in
-             zip(metadata["doc_id"], metadata["entity1"],
-                 metadata["entity2"], metadata["sequence_id"])])
+            list(zip(metadata["doc_id"], metadata["entity1"],
+                     metadata["entity2"], metadata["sequence_id"])))
 
 
 class TorchExtractorBackend:

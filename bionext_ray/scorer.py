@@ -33,7 +33,7 @@ def relation_logits(doc_id: str, entity1: str, entity2: str,
     Negative_Class drops the pair, /root/reference/src/extractor/__init__.py:
     80-82), boosted by +4 so softmax is confident but fusable.
     """
-    key = f"{doc_id}|{entity1}|{entity2}|{sequence_id}".encode("utf-8")
+    key = relation_key(doc_id, entity1, entity2, sequence_id).encode("utf-8")
     h = hashlib.blake2b(key, digest_size=48).digest()
     v = np.frombuffer(h, dtype="<u4", count=11).astype(np.float64) / 2**32
     rel = v[:9].copy()
@@ -43,20 +43,31 @@ def relation_logits(doc_id: str, entity1: str, entity2: str,
     return rel, nov
 
 
-def relation_logits_batch(keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Batched ``relation_logits``: one digest per key as before (blake2b
-    is the per-sample floor), but ONE frombuffer + vectorized float
+def relation_key(doc_id: str, entity1: str, entity2: str,
+                 sequence_id) -> str:
+    """THE sample hash key. Single owner: the scalar and batch scorers
+    and every caller building keys for the batch path must agree on the
+    delimiter/field order or the two paths silently diverge."""
+    return f"{doc_id}|{entity1}|{entity2}|{sequence_id}"
+
+
+def relation_logits_batch(samples) -> tuple[np.ndarray, np.ndarray]:
+    """Batched ``relation_logits`` over ``(doc_id, entity1, entity2,
+    sequence_id)`` tuples: one digest per sample as before (blake2b is
+    the per-sample floor), but ONE frombuffer + vectorized float
     derivation and boost-add across the batch instead of per-sample numpy
     call overhead (measured ~2x on the extractor stage). Bit-identical to
-    the scalar path: same bytes, same float64 ops.
+    the scalar path: same key (``relation_key``), same bytes, same
+    float64 ops.
 
     Returns (rel (n, 9), nov (n, 2))."""
-    n = len(keys)
+    n = len(samples)
     if n == 0:
         return (np.zeros((0, 9)), np.zeros((0, 2)))
     digests = b"".join(
-        hashlib.blake2b(k.encode("utf-8"), digest_size=48).digest()
-        for k in keys)
+        hashlib.blake2b(relation_key(*s).encode("utf-8"),
+                        digest_size=48).digest()
+        for s in samples)
     raw = np.frombuffer(digests, dtype=np.uint8).reshape(n, 48)
     v = np.frombuffer(digests, dtype="<u4").reshape(n, 12)[:, :11] \
         .astype(np.float64) / 2**32

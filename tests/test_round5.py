@@ -108,11 +108,11 @@ def test_shuffle_join_empty_right_respects_type_hint(ray_session):
 # ---------------------------------------------------------------- scorer
 def test_relation_logits_batch_bit_identical():
     from bionext_ray.scorer import relation_logits, relation_logits_batch
-    keys = [f"doc{i}|E{i % 5}|F{i % 3}|{i % 4}" for i in range(64)]
-    rel_b, nov_b = relation_logits_batch(keys)
-    for i, k in enumerate(keys):
-        d, e1, e2, sq = k.split("|")
-        r, nv = relation_logits(d, e1, e2, int(sq))
+    samples = [(f"doc{i}", f"E{i % 5}", f"F{i % 3}", i % 4)
+               for i in range(64)]
+    rel_b, nov_b = relation_logits_batch(samples)
+    for i, (d, e1, e2, sq) in enumerate(samples):
+        r, nv = relation_logits(d, e1, e2, sq)
         assert np.array_equal(r, rel_b[i])
         assert np.array_equal(nv, nov_b[i])
 
@@ -165,3 +165,50 @@ def test_zero_embedder_gates_every_embedding_tier():
     kept = {m["text"]: m["linked"] for m in cleaned}
     assert "hash" not in kept and "scan" not in kept
     assert kept["customer"] == "9606"
+
+
+def test_latest_by_key_tolerates_nested_payload(ray_session):
+    """A list-typed payload column must not break the determinism
+    fallback (pandas cannot sort it) — nested columns are excluded from
+    the last-resort sort and ride along unsorted."""
+    import ray.data
+
+    from bionext_ray.ops.relational import latest_by_key
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([5, 9, 4], pa.int64()),
+        "fid": pa.array([10, 11, 12], pa.int64()),
+        "sig": pa.array([[1, 2], [3, 4], [5]], pa.list_(pa.int64())),
+    })
+    got = (latest_by_key(ray.data.from_arrow(t), ["k"], "ts",
+                         tiebreak=["fid"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert got["ts"].tolist() == [9, 4]
+    assert [list(s) for s in got["sig"]] == [[3, 4], [5]]
+
+
+def test_neardup_verified_oracle_covers_shingleless_docs(ray_session,
+                                                         tmp_path):
+    """Docs with <3 words have empty shingle sets: the engine pairs them
+    at Jaccard 1.0 (identical sentinel signatures make every such pair an
+    LSH candidate), and the oracle's short-doc UNION branch must emit the
+    same rows."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["hi there", "ok", "w1 w2 w3 w4 w5 w6 w7 w8"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = em.queries()["neardup_verified"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(em.oracle_sql()["neardup_verified"]).df()
+    con.close()
+    assert sorted(map(tuple, got.to_numpy().tolist())) == \
+        sorted(map(tuple, want.to_numpy().tolist())) == [(1, 2, 1000000)]
