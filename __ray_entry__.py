@@ -2374,7 +2374,19 @@ def oracle_sql() -> dict[str, str]:
         _gazetteer_values), and the reference decoder's flush quirk — a
         span whose gap to the NEXT span is pure whitespace takes that
         span's label (decoder.py:33-38, kept by both tagger paths).
-        mid is the per-doc position rank (the tagger's mention id)."""
+        mid is the per-doc position rank (the tagger's mention id).
+
+        CORPUS-PINNED ASSUMPTION (like the md5-collision and LSH-recall
+        caveats elsewhere): the oracle is exact for ASCII corpus text.
+        On non-ASCII input three definitions diverge from the engine —
+        DuckDB lower() is full-Unicode vs the matcher's IGNORECASE|ASCII
+        (e.g. Kelvin sign U+212A would fold to 'k' only in SQL), the
+        adjacency-gap class [ \\t\\n\\r\\f\\x0b] vs Python str.strip()'s
+        Unicode whitespace (NBSP, \\x1c-\\x1f, U+2028 flip the label
+        quirk only on the engine side), and lower() can change string
+        LENGTH for rare codepoints, shifting spans. The driver corpora
+        are verified pure ASCII; re-derive these three rules before
+        pointing this oracle at non-ASCII data."""
         return f"""
             pages AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -54,8 +54,7 @@ def _run_bench() -> dict:
     # position, not code). Best of 3: the first execution carries ~2 s of
     # fixed startup (worker imports + actor-pool ramp) a production job
     # amortizes; all runs are recorded alongside the min.
-    import pyarrow.parquet as pq2
-    n_pages = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     runs = []
     n_triples = None
     for _ in range(3):

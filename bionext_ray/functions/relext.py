@@ -36,7 +36,7 @@ import numpy as np
 
 from ..constants import (ID2LABEL_NOVEL, ID2LABEL_RELATION, LABEL2ID_ENTITY,
                          MODEL_MAX_LENGTH, NEGATIVE_CLASS, TYPE_PAIR_MASK)
-from ..scorer import relation_logits, softmax
+from ..scorer import softmax
 from ..tokenization import tokenize
 
 # CLS/SEP analogs occupy 2 slots (data.py:353-355)

@@ -1831,25 +1831,30 @@ def latest_by_key(ds, key_cols: list[str], order_col: str,
     wire, payload included exactly once), then ONE key-hash bucketed
     exchange with a vectorized in-bucket sort + drop_duplicates.
 
-    DETERMINISM: when (order_col, *tiebreak) fully ties within a key, the
-    remaining SCALAR payload columns join the sort as a last-resort total
-    order — the winning row is then a pure function of the data, not of
-    block layout (without this, the block-local keep='first' made the
-    answer depend on partitioning). Nested-typed payload columns (list/
-    struct/map — pandas cannot sort them) are excluded from the fallback:
-    a row set whose ties are distinguished ONLY by a nested column keeps
-    the layout dependence, so callers with nested payloads should pass an
-    explicit unique tiebreak (e.g. a fetch id)."""
+    DETERMINISM: when no ``tiebreak`` is given and order_col fully ties
+    within a key, the remaining SCALAR payload columns join the sort as a
+    last-resort total order — the winning row is then a pure function of
+    the data, not of block layout (without this, the block-local
+    keep='first' made the answer depend on partitioning). The fallback is
+    SKIPPED when an explicit tiebreak is passed: the tiebreak is the
+    caller's uniqueness contract, and sorting wide payload columns on
+    every block would buy nothing (a full per-block string argsort for a
+    text payload). Nested-typed payload columns (list/struct/map — pandas
+    cannot sort them) are always excluded, so rows distinguished ONLY by
+    a nested column need that explicit unique tiebreak."""
     import numpy as np
     import pandas as pd
 
     P = max(16, shuffle_partitions or 0)
     sort_cols = key_cols + [order_col] + list(tiebreak or [])
-    sch = ds.schema()
-    nested = (pa.types.is_nested(t) for t in sch.types)
-    unsortable = {c for c, n in zip(sch.names, nested) if n}
-    payload_rest = [c for c in sch.names
-                    if c not in sort_cols and c not in unsortable]
+    if tiebreak:
+        payload_rest = []
+    else:
+        sch = ds.schema()
+        nested = (pa.types.is_nested(t) for t in sch.types)
+        unsortable = {c for c, n in zip(sch.names, nested) if n}
+        payload_rest = [c for c in sch.names
+                        if c not in sort_cols and c not in unsortable]
     sort_cols = sort_cols + payload_rest
     asc = [True] * len(key_cols) + [False] * (1 + len(tiebreak or [])
                                               + len(payload_rest))
