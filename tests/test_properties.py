@@ -141,3 +141,55 @@ def test_interval_join_random(ray_session, seed):
     else:
         assert set(zip(got["lid"], got["rid"])) == want
         assert len(got) == len(want)
+
+
+def _dup_spans_ref(texts, k=3):
+    """Brute-force substring-dedup reference: count every k-word shingle,
+    mark positions of >1-occurrence shingles, merge runs with gap <= k."""
+    from collections import Counter
+    grams = Counter()
+    per_doc = []
+    for t in texts:
+        words = (t or "").lower().split(" ")
+        ps = []
+        for p in range(max(0, len(words) - k + 1)):
+            g = tuple(words[p:p + k])
+            grams[g] += 1
+            ps.append((p, g))
+        per_doc.append(ps)
+    out = set()
+    for did, ps in enumerate(per_doc):
+        dup = sorted(p for p, g in ps if grams[g] >= 2)
+        i = 0
+        while i < len(dup):
+            j = i
+            while j + 1 < len(dup) and dup[j + 1] - dup[j] <= k:
+                j += 1
+            out.add((did, dup[i], dup[j] + k))
+            i = j + 1
+    return out
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(st.lists(documents(), min_size=0, max_size=12),
+       st.integers(min_value=1, max_value=7))
+def test_duplicate_text_spans_matches_bruteforce(ray_session, texts, seed):
+    """The two-exchange distributed span builder must equal the
+    brute-force counter+merge reference on arbitrary corpora (within-doc
+    repeats, shared shingles, empty and short docs), at an awkward block
+    count."""
+    import pyarrow as pa
+    import ray.data
+
+    from bionext_ray.ops.dedup import duplicate_text_spans
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    if len(texts) > 1:
+        ds = ds.repartition(1 + seed % 3)
+    got = duplicate_text_spans(ds, k=3).to_pandas()
+    spans = {(int(r.doc_id), int(r.start_word), int(r.end_word))
+             for r in got.itertuples(index=False)}
+    assert spans == _dup_spans_ref(texts, k=3)
