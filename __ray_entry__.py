@@ -1859,8 +1859,8 @@ def q_multimodal_frames(sf_dir: str):
         import pyarrow.compute as pc
         return pa.table({
             "doc_id": b["doc_id"],
-            "frame_idx": b["frame_idx"],
-            "frame_bytes": pc.binary_length(b["frame"]),
+            "frame_idx": pc.cast(b["frame_idx"], pa.int64()),
+            "frame_bytes": pc.cast(pc.binary_length(b["frame"]), pa.int64()),
         })
 
     return frames.map_batches(meta_only, batch_format="pyarrow")
@@ -2179,8 +2179,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_cont": q_events_quantiles_cont,
     }
     # Round-5 driver window (~first 50 entries get a CORRECTNESS row):
-    # kg flagship block (incl. the two new hard oracles) -> the three
-    # rows-only queries converted to SQL this round -> everything with NO
+    # kg flagship block (incl. the two new hard oracles) -> the rows-only
+    # queries converted to SQL this round (neardup_verified, pack_bins,
+    # lang_id_ngram, image_neardup, dup_spans, then late-round: simhash,
+    # minhash_candidates, multimodal_frames, embedding_neardup,
+    # simsearch_lsh — all inside the window below) -> everything with NO
     # driver row in r3 or r4 -> the oldest r3-green veterans, so nothing
     # goes more than two rounds unverified. Entries not listed keep their
     # dict order at the tail (all driver-green in r4).
@@ -2514,6 +2517,168 @@ def oracle_sql() -> dict[str, str]:
         return ", ".join(f"('{lg}', '{g}')"
                          for lg in sorted(_LANG_PROFILES)
                          for g in sorted(_LANG_PROFILES[lg]))
+
+    # ------------------------------------------------------------------
+    # blake2b tabulation + mod-2^64 limb arithmetic for the hash-dedup
+    # family (simhash / minhash). blake2b is not a DuckDB primitive, so
+    # the per-WORD hash is tabulated at oracle-build time over the corpus
+    # vocabulary (the synthetic generator shares one small fixed vocab
+    # across scale factors — 32 words including ''); everything downstream
+    # (bit votes, the polynomial shingle combine, permutation mins, band
+    # keys) is real SQL arithmetic. Unknown words NULL-poison the result
+    # via a LEFT-JOIN guard, so an uncovered corpus fails the value-hash
+    # gate loudly instead of comparing a silently-wrong oracle.
+    def _word_hash_tables() -> dict[str, str]:
+        import glob as _glob
+        import hashlib as _hashlib
+
+        import pyarrow.parquet as _pq
+
+        words = {""}   # split('') == [''] on both engines
+        for p in sorted(_glob.glob("/root/testdata/sf*/documents.parquet")):
+            for t in _pq.read_table(p, columns=["text"])["text"].to_pylist():
+                words.update((t or "").lower().split(" "))
+        vocab = sorted(words)
+
+        def esc(w: str) -> str:
+            return w.replace("'", "''")
+
+        hv = {w: int.from_bytes(
+            _hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+            "little") for w in vocab}
+        return {
+            "wh": ", ".join(f"('{esc(w)}', {hv[w]}::HUGEINT)"
+                            for w in vocab),
+            "known": ", ".join(f"('{esc(w)}')" for w in vocab),
+            # (word, bit, 2^bit) rows for SET bits only — the simhash
+            # per-bit vote counts ones, absent bits contribute zero
+            "bits": ", ".join(
+                f"('{esc(w)}', {b}, {1 << b}::HUGEINT)"
+                for w in vocab for b in range(64) if (hv[w] >> b) & 1),
+        }
+
+    _wht = _word_hash_tables()
+    _T64, _G32 = 1 << 64, 1 << 32
+    _MIX64 = 0x9E3779B97F4A7C15   # ops/dedup.py::_MIX
+
+    def _mulmix(h: str) -> str:
+        """SQL expr: (h * _MIX) mod 2^64 for h < 2^64, split into 32-bit
+        limbs so every intermediate stays inside HUGEINT (int128)."""
+        mh, ml = _MIX64 >> 32, _MIX64 & 0xFFFFFFFF
+        return (f"(({h}) * {ml}::HUGEINT % {_T64}::HUGEINT"
+                f" + (({h}) * {mh}::HUGEINT % {_G32}::HUGEINT)"
+                f" * {_G32}::HUGEINT) % {_T64}::HUGEINT")
+
+    def _xorshift(h: str, s: int) -> str:
+        """SQL expr: h XOR (h >> s) for h < 2^64 — xor per 32-bit limb
+        (DuckDB xor() is BIGINT-only, limbs always fit)."""
+        x = f"(({h}) // {1 << s}::HUGEINT)"
+        return (f"(xor(CAST(({h}) // {_G32} AS BIGINT),"
+                f" CAST({x} // {_G32} AS BIGINT))::HUGEINT * {_G32}::HUGEINT"
+                f" + xor(CAST(({h}) % {_G32} AS BIGINT),"
+                f" CAST({x} % {_G32} AS BIGINT))::HUGEINT)")
+
+    def _minhash_perm_values() -> str:
+        """(p, a, b) rows mirroring ops/dedup.py::_perm_params(64, seed=17)."""
+        rng = np.random.RandomState(17)
+        a = rng.randint(1, 1 << 62, size=64, dtype=np.int64)
+        b = rng.randint(0, 1 << 62, size=64, dtype=np.int64)
+        return ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+                         for p in range(64))
+
+    def _minhash_sql() -> str:
+        """Exact mirror of ops/dedup.py::minhash_lsh_candidates: the 3-word
+        shingle hash is the polynomial mod-2^64 combine of tabulated word
+        hashes + xor-shift(31) finalizer masked to 63 bits; each of the 64
+        permutation rows applies (x*a mod 2^64 + b mod 2^64) mod 2^61-1 —
+        the engine's uint64 WRAPAROUND multiply is replicated by the same
+        limb split; 16 band keys re-run the combine over 4 signature rows
+        (xor-shift 33); candidate pairs share the int64-wrapped bkey =
+        hash*1000003 + band_id exactly as the engine's bucket key does."""
+        mers = (1 << 61) - 1
+        fin_shingle = (f"({_mulmix(_xorshift('g2.h', 31))})"
+                       f" % {1 << 63}::HUGEINT")
+        band_h = "s0"
+        for nxt in ("s1", "s2", "s3"):
+            band_h = f"(({_mulmix(band_h)} + {nxt}) % {_T64}::HUGEINT)"
+        fin_band = f"({_mulmix(_xorshift(band_h, 33))}) % {1 << 63}::HUGEINT"
+        sig_val = (f"((s.x * (p.pa % {_G32}) % {_T64}::HUGEINT"
+                   f" + (s.x * (p.pa // {_G32}) % {_G32}::HUGEINT)"
+                   f" * {_G32}::HUGEINT) % {_T64}::HUGEINT"
+                   f" + p.pb) % {_T64}::HUGEINT % {mers}::HUGEINT")
+        return f"""
+            WITH wh(w, hv) AS (VALUES {_wht['wh']}),
+                 known(w) AS (VALUES {_wht['known']}),
+                 perms(p, pa, pb) AS (VALUES {_minhash_perm_values()}),
+                 toks AS (SELECT doc_id,
+                                 string_split(lower(coalesce(text, '')), ' ')
+                                     AS ws
+                          FROM documents),
+                 poison AS (SELECT t.doc_id
+                            FROM toks t, unnest(t.ws) AS u(w)
+                            LEFT JOIN known k ON u.w = k.w
+                            WHERE k.w IS NULL),
+                 pos AS (SELECT t.doc_id, u.i, wh.hv
+                         FROM toks t,
+                              LATERAL (SELECT unnest(t.ws) AS w,
+                                              unnest(range(len(t.ws))) AS i) u
+                         JOIN wh ON u.w = wh.w),
+                 g0 AS (SELECT a.doc_id, a.i, a.hv AS h, b.hv AS h1, c.hv AS h2
+                        FROM pos a
+                        JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                        JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+                 g1 AS (SELECT doc_id, i,
+                               ({_mulmix('h')} + h1) % {_T64}::HUGEINT AS h, h2
+                        FROM g0),
+                 g2 AS (SELECT doc_id, i,
+                               ({_mulmix('h')} + h2) % {_T64}::HUGEINT AS h
+                        FROM g1),
+                 shingles AS (SELECT DISTINCT doc_id, {fin_shingle} AS x
+                              FROM g2),
+                 short AS (SELECT t.doc_id FROM toks t
+                           WHERE len(t.ws) < 3 AND t.doc_id NOT IN
+                                 (SELECT doc_id FROM poison)),
+                 sig AS (SELECT s.doc_id, p.p,
+                                CAST(MIN({sig_val}) AS BIGINT) AS v
+                         FROM shingles s, perms p
+                         WHERE s.doc_id NOT IN (SELECT doc_id FROM poison)
+                         GROUP BY s.doc_id, p.p
+                         UNION ALL
+                         SELECT sh.doc_id, p.p, {mers} AS v
+                         FROM short sh, perms p),
+                 bands AS (SELECT doc_id, p // 4 AS band_id,
+                                  MAX(CASE WHEN p % 4 = 0 THEN v END)::HUGEINT AS s0,
+                                  MAX(CASE WHEN p % 4 = 1 THEN v END)::HUGEINT AS s1,
+                                  MAX(CASE WHEN p % 4 = 2 THEN v END)::HUGEINT AS s2,
+                                  MAX(CASE WHEN p % 4 = 3 THEN v END)::HUGEINT AS s3
+                           FROM sig GROUP BY doc_id, p // 4),
+                 brows AS (SELECT doc_id, band_id, {fin_band} AS bh
+                           FROM bands),
+                 bkeys AS (SELECT doc_id,
+                                  (bh * 1000003 + band_id
+                                   + {1 << 63}::HUGEINT) % {_T64}::HUGEINT
+                                      AS bkey
+                           FROM brows)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS n_shared_bands
+            FROM bkeys a JOIN bkeys b
+              ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """
+
+    def _lsh_plane_sig(n_planes: int, seed: int) -> str:
+        """SQL expr: the random-hyperplane signature of ``embedding``
+        (ops/simsearch.py::_hyperplanes + lsh_signature) — the seeded
+        normal plane matrix is embedded as DOUBLE[] literals at full repr
+        precision, the sign test and bit packing run in SQL."""
+        rng = np.random.RandomState(seed)
+        planes = rng.normal(size=(n_planes, 64))
+        bits = []
+        for i, row in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(w)) for w in row) + "]::DOUBLE[]"
+            bits.append(f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                        f"{lit}) > 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
 
     return {
         # Full oracle for the flagship tagger stage (see _kg_mention_ctes
@@ -4105,5 +4270,86 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events
             GROUP BY event_type, (epoch_us(ts) // 3600000000) * 3600
+        """,
+        # Exact mirror of ops/dedup.py::simhash_batch: per-doc distinct
+        # word set, one tabulated blake2b per word (see _word_hash_tables),
+        # per-bit majority vote 2*ones > n_words, 16-bit prefix bucket.
+        # Hex rendering splits the HUGEINT into two 32-bit printf halves.
+        "simhash": f"""
+            WITH wbits(w, b, pw2) AS (VALUES {_wht['bits']}),
+                 known(w) AS (VALUES {_wht['known']}),
+                 dw AS (SELECT DISTINCT doc_id,
+                               unnest(string_split(lower(coalesce(text, '')),
+                                                   ' ')) AS w
+                        FROM documents),
+                 nw AS (SELECT doc_id, COUNT(*) AS n,
+                               SUM(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END)
+                                   AS unknown
+                        FROM dw LEFT JOIN known k USING (w)
+                        GROUP BY doc_id),
+                 ones AS (SELECT dw.doc_id, wb.b, COUNT(*) AS c,
+                                 ANY_VALUE(wb.pw2) AS pw2
+                          FROM dw JOIN wbits wb ON dw.w = wb.w
+                          GROUP BY dw.doc_id, wb.b),
+                 v AS (SELECT nw.doc_id,
+                              CASE WHEN nw.unknown > 0 THEN NULL
+                                   ELSE COALESCE(SUM(o.pw2)
+                                                 FILTER (2 * o.c > nw.n),
+                                                 0::HUGEINT) END AS val
+                       FROM nw LEFT JOIN ones o ON nw.doc_id = o.doc_id
+                       GROUP BY nw.doc_id, nw.unknown)
+            SELECT doc_id,
+                   printf('%08x%08x', CAST(val // 4294967296 AS BIGINT),
+                          CAST(val % 4294967296 AS BIGINT)) AS simhash,
+                   CAST(val // 281474976710656 AS BIGINT) AS bucket
+            FROM v
+        """,
+        "minhash_candidates": _minhash_sql(),
+        # ops/multimodal.py::_fake_frames fan-out is pure arithmetic:
+        # n_frames = clamp(len(utf8(text)) // every_n // 16, 1, 64) with
+        # every_n=2, each fake frame a 16-byte digest. The real BMPS demux
+        # path is pinned by tests/test_multimodal.py + the video_frames
+        # oracle; this one gates the fan-out row arithmetic end to end.
+        "multimodal_frames": """
+            WITH nf AS (SELECT doc_id,
+                               LEAST(GREATEST(1,
+                                   octet_length(encode(coalesce(text, '')))
+                                       // 32), 64) AS n
+                        FROM documents)
+            SELECT doc_id, unnest(range(n)) AS frame_idx,
+                   CAST(16 AS BIGINT) AS frame_bytes
+            FROM nf
+        """,
+        # ops/dedup.py::embedding_neardup: plane-sign LSH bucket (seed 29,
+        # 4 planes — embedded as DOUBLE[] literals), exact cosine >= 0.35
+        # inside equal-signature buckets, micro-floored score.
+        "embedding_neardup": f"""
+            WITH sigs AS (SELECT vec_id, embedding,
+                                 {_lsh_plane_sig(4, 29)} AS sig
+                          FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[])
+                              * 1000000) AS BIGINT) AS cos_micro
+            FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.35
+        """,
+        # ops/simsearch.py::lsh_topk (seed 23, 6 planes): candidates share
+        # the query vector's plane signature, exact cosine rerank, ties by
+        # vec_id — same ranking contract as the simsearch_topk oracle.
+        "simsearch_lsh": f"""
+            WITH sigs AS (SELECT vec_id, embedding,
+                                 {_lsh_plane_sig(6, 23)} AS sig
+                          FROM embeddings),
+                 q AS (SELECT sig, embedding FROM sigs WHERE vec_id = 0)
+            SELECT row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           s.embedding::DOUBLE[],
+                           (SELECT embedding FROM q)::DOUBLE[]) DESC,
+                           s.vec_id ASC) AS rank,
+                   s.vec_id
+            FROM sigs s WHERE s.sig = (SELECT sig FROM q)
+            ORDER BY rank LIMIT 10
         """,
     }
