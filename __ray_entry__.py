@@ -1761,6 +1761,18 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(ds, "user_id", "ts", gap_s=1800, order_cols=["event_id"])
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event sequences
+    (ties broken by event_id for a total order)."""
+    from bionext_ray.ops.relational import (estimate_partitions,
+                                            event_transitions)
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    sp = estimate_partitions(f"{sf_dir}/events.parquet")
+    return event_transitions(ds, "user_id", "ts", "event_type",
+                             order_cols=["event_id"],
+                             shuffle_partitions=sp)
+
+
 def q_kg_stage_counts(sf_dir: str):
     """Per-stage corpus counters (reference A5: printed counts,
     taxonomy.py:98-108, cleaner.py:6-26) as a queryable table.
@@ -2119,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q_orders_by_nation,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "event_transitions": q_event_transitions,
         "events_followups": q_events_followups,
         "events_props_stats": q_events_props_stats,
         "events_last_order": q_events_last_order,
@@ -2191,7 +2204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
         "neardup_verified", "pack_bins", "lang_id_ngram", "image_neardup",
-        "dup_spans",
+        "dup_spans", "event_transitions",
         # no driver row in r3 or r4
         "events_last_order", "kg_stage_counts", "neardup_clusters",
         "multimodal_features", "multimodal_frames", "tfidf_top_terms",
@@ -4262,6 +4275,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MIN(tus) AS start_us, MAX(tus) AS end_us
             FROM sess GROUP BY user_id, session_id
+        """,
+        # ops/relational.py::event_transitions — LEAD over the same
+        # (ts, event_id) total order per user, pair counts corpus-wide.
+        "event_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS next_type
+                FROM events)
+            SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+            FROM seq
+            WHERE next_type IS NOT NULL
+            GROUP BY prev_type, next_type
         """,
         "events_hourly": """
             SELECT event_type,

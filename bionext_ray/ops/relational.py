@@ -524,6 +524,59 @@ def sessionize(events_ds, key_col: str, ts_col: str, gap_s: int,
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def event_transitions(events_ds, key_col: str, ts_col: str, type_col: str,
+                      order_cols: list[str] | None = None,
+                      shuffle_partitions: int | None = None):
+    """First-order Markov transition counts over per-key event sequences
+    (the flow matrix behind product-analytics Sankeys and the bigram table
+    a sequence model trains on): per key, events ordered by
+    (ts, *order_cols), every adjacent (prev_type -> next_type) pair counted
+    corpus-wide.
+
+    ONE exchange on hash(key) % P co-locates each key's events; inside a
+    bucket a single vectorized pass handles ALL keys (mergesort, one
+    shift-compare for the key boundary, C groupby over the pair columns)
+    and reduces the bucket to at most |types|^2 (prev, next, n) partial
+    rows. Only those tiny partials cross the final low-cardinality sum —
+    the |events|-sized data moves exactly once.
+
+    ``order_cols`` must break ts ties to a total order per key (pass the
+    event id); otherwise adjacent-pair identity depends on sort stability
+    across partitionings.
+    """
+    import numpy as np
+
+    order_cols = order_cols or []
+    P = max(16, shuffle_partitions or 0)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__bucket",
+                               pa.array(np.abs(key) % P, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col] + order_cols, kind="mergesort")
+        key = g[key_col].to_numpy()
+        typ = g[type_col].to_numpy()
+        same = key[1:] == key[:-1]
+        pairs = pd.DataFrame({"prev_type": typ[:-1][same],
+                              "next_type": typ[1:][same]})
+        out = (pairs.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["prev_type"] = out["prev_type"].astype(str)
+        out["next_type"] = out["next_type"].astype(str)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = (coalesce_for_exchange(
+                    events_ds.map_batches(add_bucket, batch_format="pyarrow"),
+                    P)
+                .groupby("__bucket")
+                .map_groups(per_bucket, batch_format="pandas"))
+    return partial_final_agg(partials, ["prev_type", "next_type"],
+                             [("n", "sum", "n")])
+
+
 def grouped_quantiles(ds, key_cols: list[str], col: str,
                       qs: tuple = (0.5, 0.95),
                       shuffle_partitions: int | None = None):

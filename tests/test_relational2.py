@@ -706,3 +706,49 @@ def test_latest_by_key_composite_key(ray_session):
                         "ts").to_pandas()
     assert sorted(map(tuple, got.values.tolist())) == [
         (1, "x", 2), (2, "x", 1)]
+
+
+def test_event_transitions_matches_bruteforce(ray_session):
+    """Randomized cross-check vs a plain-pandas bigram count, at two
+    parallelism levels (the pair identity must not depend on block
+    layout), with ts ties broken by event id."""
+    from bionext_ray.ops.relational import event_transitions
+    rng = np.random.default_rng(11)
+    n = 600
+    users = rng.integers(0, 25, n)
+    ts = pd.to_datetime(rng.integers(0, 50, n), unit="s")  # heavy ties
+    eid = np.arange(n)
+    typ = rng.choice(["a", "b", "c", "d"], n)
+    df = pd.DataFrame({"user_id": users, "event_id": eid,
+                       "ts": ts, "event_type": typ})
+
+    sdf = df.sort_values(["user_id", "ts", "event_id"])
+    same = sdf["user_id"].to_numpy()[1:] == sdf["user_id"].to_numpy()[:-1]
+    want = (pd.DataFrame({
+                "prev_type": sdf["event_type"].to_numpy()[:-1][same],
+                "next_type": sdf["event_type"].to_numpy()[1:][same]})
+            .groupby(["prev_type", "next_type"]).size()
+            .reset_index(name="n"))
+    want = want.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)).repartition(parts)
+        got = (event_transitions(ds, "user_id", "ts", "event_type",
+                                 order_cols=["event_id"])
+               .to_pandas()
+               .sort_values(["prev_type", "next_type"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype({"n": "int64"}), want.astype({"n": "int64"}))
+
+
+def test_event_transitions_single_event_keys_emit_nothing(ray_session):
+    from bionext_ray.ops.relational import event_transitions
+    ds = _ds({"user_id": pa.array([1, 2, 3], pa.int64()),
+              "event_id": pa.array([0, 1, 2], pa.int64()),
+              "ts": pa.array(pd.to_datetime([0, 1, 2], unit="s")),
+              "event_type": pa.array(["a", "b", "c"], pa.string())})
+    got = event_transitions(ds, "user_id", "ts", "event_type",
+                            order_cols=["event_id"]).to_pandas()
+    assert len(got) == 0
