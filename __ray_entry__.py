@@ -1219,6 +1219,19 @@ def q_oov_rate(sf_dir: str):
     return oov_stats(docs, vocab)
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-unigram-LM quality score per doc (CCNet-style LM filter):
+    distributed word counts -> broadcast micro-logprob LM (count floor
+    100 drops the synthetic corpus's rare 'dup' marker word, so the OOV
+    penalty path is live in the oracle comparison) -> one index_in +
+    bincount pass per batch."""
+    from bionext_ray.ops.relational import estimate_partitions
+    from bionext_ray.ops.textstats import unigram_logprob
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs, min_count=100, shuffle_partitions=sp)
+
+
 def q_ngram_docfreq(sf_dir: str):
     """Corpus boilerplate-phrase inventory: every word trigram appearing
     in >= 2 distinct documents, with document frequency and occurrence
@@ -2091,6 +2104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_docfreq": q_ngram_docfreq,
         "boilerplate": q_boilerplate,
         "oov_rate": q_oov_rate,
+        "unigram_logprob": q_unigram_logprob,
         "hits": q_hits,
         "crawl_latest": q_crawl_latest,
         "cocitation": q_cocitation,
@@ -2204,7 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
         "neardup_verified", "pack_bins", "lang_id_ngram", "image_neardup",
-        "dup_spans", "event_transitions",
+        "dup_spans", "event_transitions", "unigram_logprob",
         # no driver row in r3 or r4
         "events_last_order", "kg_stage_counts", "neardup_clusters",
         "multimodal_features", "multimodal_frames", "tfidf_top_terms",
@@ -3918,6 +3932,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000000 * COALESCE(p.oov, 0)
                         // GREATEST(COALESCE(p.n_words, 0), 1) AS BIGINT)
                        AS oov_ppm
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # ops/textstats.py::unigram_logprob — same ln()/FLOOR pipeline over
+        # the same corpus counts; total counts ALL occurrences, the floor
+        # only gates LM membership, below-floor words take the 1/total
+        # penalty. Integer micro sums, so SUM order is irrelevant.
+        "unigram_logprob": """
+            WITH w AS (SELECT doc_id,
+                              UNNEST(string_split(lower(COALESCE(text, '')),
+                                                  ' ')) AS word
+                       FROM documents),
+                 ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+                 counts AS (SELECT word, COUNT(*) AS c FROM ww
+                            GROUP BY word),
+                 tot AS (SELECT SUM(c) AS t FROM counts),
+                 lp AS (SELECT word,
+                               CAST(FLOOR(1000000 * ln(
+                                   c / (SELECT t FROM tot))) AS BIGINT)
+                                   AS lpm
+                        FROM counts WHERE c >= 100),
+                 oov AS (SELECT CAST(FLOOR(1000000 * ln(
+                             1.0 / (SELECT t FROM tot))) AS BIGINT) AS m),
+                 per AS (SELECT ww.doc_id, COUNT(*) AS n_words,
+                                SUM(COALESCE(lp.lpm,
+                                             (SELECT m FROM oov))) AS s
+                         FROM ww LEFT JOIN lp USING (word)
+                         GROUP BY ww.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(p.s, 0) AS BIGINT) AS sum_lp_micro
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "ngram_docfreq": """

@@ -905,6 +905,93 @@ def oov_stats(documents_ds, vocab: list[str]):
                                     concurrency=actor_pool_size())
 
 
+def unigram_logprob(documents_ds, min_count: int = 1,
+                    shuffle_partitions: int | None = None):
+    """Corpus-unigram-LM document scoring — the CCNet/Gopher-style LM
+    quality filter, hermetic (the LM *is* the corpus): documents whose
+    words are improbable under the corpus distribution score low and get
+    filtered before training.
+
+    Pass 1 counts word occurrences distributedly (in-block arrow combine
+    -> ONE word-bucketed exchange via ``bucketed_agg``). The aggregated
+    (word, count) LM with count >= ``min_count`` is vocabulary-sized —
+    Heaps' law keeps vocab sublinear in corpus size and the count floor
+    bounds it hard — and ships via ``ray.put`` ONCE (the production shape:
+    the LM is a small artifact loaded per actor, never a per-occurrence
+    join). Pass 2 scores each doc in one index_in + two bincounts:
+    lp_micro(w) = floor(1e6 * ln(c_w / total)); below-floor / unseen words
+    get the floor(1e6 * ln(1 / total)) penalty. ``total`` counts ALL
+    occurrences (including below-floor words) so the distribution is fixed
+    before flooring. Tokens are the repo-standard space split of lowercased
+    text with empty tokens dropped. Only integer micro log-probs are
+    summed (per-doc partials stay far below 2^53, so the bincount float
+    accumulate is exact), hence bit-identical at any parallelism.
+
+    Returns (doc_id, n_words, sum_lp_micro); wordless docs score (0, 0).
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .relational import actor_pool_size, bucketed_agg
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(
+            pc.utf8_lower(pc.coalesce(b["text"], "")), " "))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"w": words}).group_by(["w"]).aggregate([("w", "count")])
+        return pa.table({"w": g["w"],
+                         "n": pc.cast(g["w_count"], pa.int64())})
+
+    cdf = bucketed_agg(
+        documents_ds.map_batches(word_counts, batch_format="pyarrow"),
+        ["w"], [("n", "sum", "n")],
+        shuffle_partitions=shuffle_partitions).to_pandas()
+    if "n" not in cdf.columns:   # token-free corpus edge (schema-less empty)
+        cdf = cdf.reindex(columns=["w", "n"]).astype({"n": "int64"})
+    total = int(cdf["n"].sum()) if len(cdf) else 0
+    total = total or 1
+    kept = cdf[cdf["n"] >= min_count].sort_values("w")
+    lp = np.array([math.floor(1_000_000 * math.log(int(c) / total))
+                   for c in kept["n"]], np.int64)
+    oov_micro = math.floor(1_000_000 * math.log(1.0 / total))
+    ref = _ray.put((kept["w"].tolist(), lp, oov_micro))
+
+    class ScoreFn:
+        def __init__(self):
+            vocab, lp_arr, oov = _ray.get(ref)
+            self.value_set = pa.array(vocab, pa.string())
+            self.lp, self.oov = lp_arr, oov
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words = pc.split_pattern(
+                pc.utf8_lower(pc.coalesce(batch["text"], "")), " ")
+            flat = pc.list_flatten(words)
+            lengths = pc.list_value_length(words).to_numpy().astype("int64")
+            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            idx = pc.index_in(flat, value_set=self.value_set)
+            hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            ix = pc.fill_null(idx, 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            base = self.lp[ix] if len(self.lp) else np.zeros(len(ix), np.int64)
+            w_lp = np.where(hit, base, self.oov)
+            w_lp = np.where(nonempty, w_lp, 0)
+            n = len(lengths)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            n_words = np.bincount(doc_idx, weights=nonempty,
+                                  minlength=n).astype(np.int64)
+            s = np.bincount(doc_idx, weights=w_lp,
+                            minlength=n).astype(np.int64)
+            return pa.table({"doc_id": batch["doc_id"],
+                             "n_words": pa.array(n_words, pa.int64()),
+                             "sum_lp_micro": pa.array(s, pa.int64())})
+
+    return documents_ds.map_batches(ScoreFn, batch_format="pyarrow",
+                                    concurrency=actor_pool_size())
+
+
 _WS_RE = re.compile(r"[ \t\n\r\f]+")
 
 

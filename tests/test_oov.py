@@ -37,3 +37,42 @@ def test_oov_double_space_tokens_dropped(ray_session):
     out = oov_stats(ds, ["a", "b"]).to_pandas()
     assert out["n_words"].tolist() == [2]
     assert out["oov_ppm"].tolist() == [0]
+
+
+def test_unigram_logprob_matches_reference_math(ray_session):
+    """Exact micro-logprob math vs plain Python over a tiny corpus, incl.
+    the OOV penalty for a below-floor word and zero rows for wordless
+    docs, invariant across block layouts."""
+    import math
+
+    import ray.data
+
+    from bionext_ray.ops.textstats import unigram_logprob
+
+    # counts: a=3, b=2, rare=1; total=6. min_count=2 drops 'rare' -> OOV.
+    rows = [(1, "a b A"), (2, "b a rare"), (3, ""), (4, None)]
+    total = 6
+    lp = {"a": math.floor(1e6 * math.log(3 / total)),
+          "b": math.floor(1e6 * math.log(2 / total))}
+    oov = math.floor(1e6 * math.log(1.0 / total))
+    want = {1: (3, 2 * lp["a"] + lp["b"]),
+            2: (3, lp["a"] + lp["b"] + oov),
+            3: (0, 0), 4: (0, 0)}
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(_docs(rows)).repartition(parts)
+        out = (unigram_logprob(ds, min_count=2).to_pandas()
+               .set_index("doc_id").sort_index())
+        got = {i: (int(r["n_words"]), int(r["sum_lp_micro"]))
+               for i, r in out.iterrows()}
+        assert got == want
+
+
+def test_unigram_logprob_empty_corpus(ray_session):
+    import ray.data
+
+    from bionext_ray.ops.textstats import unigram_logprob
+
+    ds = ray.data.from_arrow(_docs([(1, ""), (2, None)]))
+    out = unigram_logprob(ds).to_pandas()
+    assert out["n_words"].tolist() == [0, 0]
+    assert out["sum_lp_micro"].tolist() == [0, 0]
