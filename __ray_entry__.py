@@ -1232,6 +1232,18 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(docs, min_count=100, shuffle_partitions=sp)
 
 
+_BM25_TERMS = ["data", "query", "dup"]   # incl. the rare high-idf word
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-10 retrieval for a fixed bag-of-words query (Lucene idf
+    variant); scalar-partial stats pass + broadcast idf/avgdl + vectorized
+    scoring with a fixed-order float expression mirrored by the oracle."""
+    from bionext_ray.ops.textstats import bm25_topk
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
 def q_ngram_docfreq(sf_dir: str):
     """Corpus boilerplate-phrase inventory: every word trigram appearing
     in >= 2 distinct documents, with document frequency and occurrence
@@ -2105,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate": q_boilerplate,
         "oov_rate": q_oov_rate,
         "unigram_logprob": q_unigram_logprob,
+        "bm25_topk": q_bm25_topk,
         "hits": q_hits,
         "crawl_latest": q_crawl_latest,
         "cocitation": q_cocitation,
@@ -2218,7 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
         "neardup_verified", "pack_bins", "lang_id_ngram", "image_neardup",
-        "dup_spans", "event_transitions", "unigram_logprob",
+        "dup_spans", "event_transitions", "unigram_logprob", "bm25_topk",
         # no driver row in r3 or r4
         "events_last_order", "kg_stage_counts", "neardup_clusters",
         "multimodal_features", "multimodal_frames", "tfidf_top_terms",
@@ -2706,6 +2719,57 @@ def oracle_sql() -> dict[str, str]:
             bits.append(f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
                         f"{lit}) > 0 THEN {1 << i} ELSE 0 END)")
         return " + ".join(bits)
+
+    def _bm25_sql() -> str:
+        """Mirror of ops/textstats.py::bm25_topk: Lucene idf, the same
+        fixed-order float expression (explicit parens; the + chain follows
+        _BM25_TERMS order), FLOOR to micro BEFORE ranking so engine and
+        oracle rank identical integers; ties by doc_id."""
+        terms = _BM25_TERMS
+        in_list = ", ".join(f"'{w}'" for w in terms)
+        tf_cols = ", ".join(
+            f"COALESCE(MAX(CASE WHEN t.word = '{w}' THEN t.tf END), 0)"
+            f" AS tf{i}" for i, w in enumerate(terms))
+        df_cols = ", ".join(
+            f"(SELECT COUNT(DISTINCT doc_id) FROM ww WHERE word = '{w}')"
+            f" AS df{i}" for i, w in enumerate(terms))
+        avg = "((SELECT toks FROM stats) / (SELECT n FROM stats))"
+        contribs = []
+        for i in range(len(terms)):
+            idf = (f"ln(1.0 + ((SELECT n FROM stats)"
+                   f" - (SELECT df{i} FROM dfs) + 0.5)"
+                   f" / ((SELECT df{i} FROM dfs) + 0.5))")
+            contribs.append(
+                f"{idf} * ((tf{i} * (1.2 + 1.0)) / (tf{i}"
+                f" + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / {avg})))")
+        score = " + ".join(contribs)
+        return f"""
+            WITH w AS (SELECT doc_id,
+                              UNNEST(string_split(lower(COALESCE(text, '')),
+                                                  ' ')) AS word
+                       FROM documents),
+                 ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+                 dlt AS (SELECT doc_id, COUNT(*) AS dl FROM ww
+                         GROUP BY doc_id),
+                 alldl AS (SELECT d.doc_id, COALESCE(dlt.dl, 0) AS dl
+                           FROM documents d LEFT JOIN dlt USING (doc_id)),
+                 stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                                  (SELECT COUNT(*) FROM ww) AS toks),
+                 dfs AS (SELECT {df_cols}),
+                 t AS (SELECT doc_id, word, COUNT(*) AS tf FROM ww
+                       WHERE word IN ({in_list}) GROUP BY doc_id, word),
+                 tfp AS (SELECT a.doc_id, a.dl, {tf_cols}
+                         FROM alldl a LEFT JOIN t USING (doc_id)
+                         GROUP BY a.doc_id, a.dl),
+                 scored AS (SELECT doc_id,
+                                   CAST(FLOOR(1000000 * ({score}))
+                                        AS BIGINT) AS score_micro
+                            FROM tfp)
+            SELECT ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+                       AS rank,
+                   doc_id, score_micro
+            FROM scored ORDER BY score_micro DESC, doc_id LIMIT 10
+        """
 
     return {
         # Full oracle for the flagship tagger stage (see _kg_mention_ctes
@@ -3964,6 +4028,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(p.s, 0) AS BIGINT) AS sum_lp_micro
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
+        "bm25_topk": _bm25_sql(),
         "ngram_docfreq": """
             WITH w AS (SELECT doc_id,
                               string_split(lower(COALESCE(text, '')), ' ')

@@ -992,6 +992,109 @@ def unigram_logprob(documents_ds, min_count: int = 1,
                                     concurrency=actor_pool_size())
 
 
+def bm25_topk(documents_ds, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k document retrieval for one bag-of-words query — the
+    lexical-search baseline every RAG / retrieval pipeline starts from.
+    Lucene's idf variant ln(1 + (N - df + 0.5)/(df + 0.5)) (always
+    positive, so empty docs can never outrank matches).
+
+    Two streaming passes, both |corpus|-sized exactly once: pass 1 reduces
+    each block to ONE scalar-partial row (n_docs, n_tokens, per-term
+    distinct-doc counts — tf matrix via one index_in + bincount) and the
+    driver merges O(blocks x terms) scalars; idf/avgdl broadcast via
+    ray.put. Pass 2 scores every doc vectorized — the per-term float
+    expression keeps a FIXED operation order (term-list order, explicit
+    parens) so the floored micro score is bit-identical to the SQL oracle
+    — then local top-k per block and a k x blocks driver heap merge on
+    (score_micro desc, id asc), integers only.
+
+    Returns a small pa.Table (rank, doc_id, score_micro).
+    """
+    import heapq
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    terms = list(dict.fromkeys(query_terms))
+    T = len(terms)
+    term_arr = pa.array(terms, pa.string())
+
+    def _tf_matrix(batch: pa.Table):
+        """(n_docs x T tf counts, per-doc word count) for one batch."""
+        words = pc.split_pattern(
+            pc.utf8_lower(pc.coalesce(batch["text"], "")), " ")
+        flat = pc.list_flatten(words)
+        lengths = pc.list_value_length(words).to_numpy().astype("int64")
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n = len(lengths)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        dl = np.bincount(doc_idx, weights=nonempty,
+                         minlength=n).astype(np.int64)
+        ti = pc.index_in(flat, value_set=term_arr)
+        hit = pc.is_valid(ti).to_numpy(zero_copy_only=False)
+        tix = pc.fill_null(ti, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = doc_idx[hit] * T + tix[hit]
+        tfm = np.bincount(keys, minlength=n * T).reshape(n, T)
+        return tfm, dl
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tfm, dl = _tf_matrix(batch)
+        cols = {"n_docs": pa.array([len(dl)], pa.int64()),
+                "n_tokens": pa.array([int(dl.sum())], pa.int64())}
+        for t in range(T):
+            cols[f"df_{t}"] = pa.array([int((tfm[:, t] > 0).sum())],
+                                       pa.int64())
+        return pa.table(cols)
+
+    n_corpus, n_tokens = 0, 0
+    df = np.zeros(T, np.int64)
+    for part in (documents_ds.map_batches(stats_partial,
+                                          batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")):
+        n_corpus += int(pc.sum(part["n_docs"]).as_py() or 0)
+        n_tokens += int(pc.sum(part["n_tokens"]).as_py() or 0)
+        for t in range(T):
+            df[t] += int(pc.sum(part[f"df_{t}"]).as_py() or 0)
+
+    avgdl = n_tokens / n_corpus if n_corpus else 1.0
+    idf = [math.log(1.0 + (n_corpus - int(d) + 0.5) / (int(d) + 0.5))
+           for d in df]
+    ref = _ray.put((idf, avgdl))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idf_l, avg = _ray.get(ref)
+        tfm, dl = _tf_matrix(batch)
+        score = np.zeros(len(dl), np.float64)
+        denom_base = (1.0 - b) + (b * dl) / avg
+        for t in range(T):   # FIXED order — mirrors the SQL + chain
+            tf = tfm[:, t].astype(np.float64)
+            score = score + idf_l[t] * ((tf * (k1 + 1.0))
+                                        / (tf + k1 * denom_base))
+        micro = np.floor(1_000_000 * score).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # ties break by doc_id even locally, else a boundary tie could keep
+        # the wrong member of the tie group before the driver merge
+        top = np.lexsort((ids, -micro))[:k]
+        return pa.table({"doc_id": batch["doc_id"].take(pa.array(top)),
+                         "score_micro": pa.array(micro[top], pa.int64())})
+
+    partials = documents_ds.map_batches(local_topk, batch_format="pyarrow")
+    rows = []
+    for part in partials.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(part["doc_id"].to_pylist(),
+                        part["score_micro"].to_pylist()))
+    best = heapq.nsmallest(k, rows, key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        "rank": pa.array(range(1, len(best) + 1), pa.int64()),
+        "doc_id": pa.array([r[0] for r in best], pa.int64()),
+        "score_micro": pa.array([r[1] for r in best], pa.int64()),
+    })
+
+
 _WS_RE = re.compile(r"[ \t\n\r\f]+")
 
 

@@ -76,3 +76,48 @@ def test_unigram_logprob_empty_corpus(ray_session):
     out = unigram_logprob(ds).to_pandas()
     assert out["n_words"].tolist() == [0, 0]
     assert out["sum_lp_micro"].tolist() == [0, 0]
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    """BM25 vs a plain-Python reference (same Lucene idf, same op order),
+    at two block layouts; ties at the k boundary must resolve by doc_id."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from bionext_ray.ops.textstats import bm25_topk
+
+    rows = [(1, "data big data query"), (2, "data"), (3, "query query"),
+            (4, ""), (5, None), (6, "data"),     # 2 and 6 tie exactly
+            (7, "other words entirely"), (8, "ghostterm")]
+    texts = {i: (t or "") for i, t in rows}
+    toks = {i: [w for w in t.lower().split(" ") if w] for i, t in texts.items()}
+    terms = ["data", "query", "missing"]        # df=0 term must contribute 0
+    N = len(rows)
+    total = sum(len(v) for v in toks.values())
+    avg = total / N
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    idf = {t: math.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+           for t in terms}
+
+    def score(i):
+        s = 0.0
+        dl = len(toks[i])
+        for t in terms:
+            tf = float(toks[i].count(t))
+            s = s + idf[t] * ((tf * (1.2 + 1.0))
+                              / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avg)))
+        return math.floor(1_000_000 * s)
+
+    want = sorted(((i, score(i)) for i, _ in rows),
+                  key=lambda r: (-r[1], r[0]))[:4]
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(_docs(rows)).repartition(parts)
+        got = bm25_topk(ds, terms, k=4).to_pandas()
+        assert got["rank"].tolist() == [1, 2, 3, 4]
+        assert list(zip(got["doc_id"], got["score_micro"])) == want
+    # the exact-tie pair (docs 2 and 6) must be adjacent, doc 2 first
+    order = [i for i, _ in want]
+    scores = dict(want)
+    assert scores[2] == scores[6] and order.index(6) == order.index(2) + 1
