@@ -89,6 +89,8 @@ def _run_bench() -> dict:
         # stable across rounds so per-query timings are comparable)
         "kg_mentions", "kg_linked_dict", "neardup_verified", "pack_bins",
         "lang_id_ngram", "image_neardup", "dup_spans",
+        # late-round-5 operators
+        "event_transitions", "unigram_logprob", "bm25_topk",
     ]
 
     per_query = {}
