@@ -431,6 +431,35 @@ def q_dup_spans(sf_dir: str):
     return duplicate_text_spans(docs, k=5, shuffle_partitions=sp)
 
 
+def q_chunk_dedup(sf_dir: str):
+    """C4-style corpus-level exact span dedup WITH text reconstruction:
+    fixed 8-token chunks, every repeated chunk keeps only its first
+    (doc_id, idx) occurrence corpus-wide; per doc the surviving text's
+    md5 plus kept/dropped chunk counts. Two bucketed exchanges (chunk
+    bucket -> doc bucket); loser chunk strings never cross the second.
+    SQL oracle replays the chunking with a ROW_NUMBER window."""
+    from bionext_ray.ops.dedup import chunk_dedup
+    from bionext_ray.ops.relational import estimate_partitions
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_dedup(docs, width=8, shuffle_partitions=sp)
+
+
+def q_mention_cooccurrence(sf_dir: str):
+    """Entity co-mention PMI over the tagger's mention table — the
+    mention-table-to-KG-signal step (reference: BioNExt's per-doc entity
+    pair enumeration, src/extractor/dataset.py). One pass + one bucketed
+    exchange; the aggregate is KB-bounded (closed gazetteer vocabulary),
+    so final PMI scoring on the driver is the broadcast-small-side
+    pattern. The SQL oracle composes the proven kg_mentions CTE chain
+    with the same left-associated ln() arithmetic."""
+    from bionext_ray.ops.graph import mention_cooccurrence
+    from bionext_ray.ops.relational import estimate_partitions
+    sp = estimate_partitions(f"{sf_dir}/documents.parquet")
+    return mention_cooccurrence(_kg_stages(sf_dir)["tagged"],
+                                shuffle_partitions=sp)
+
+
 def q_neardup_verified(sf_dir: str):
     from bionext_ray.ops.dedup import minhash_lsh_candidates, verify_jaccard_pairs
     from bionext_ray.ops.relational import estimate_partitions
@@ -2197,6 +2226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "neardup_verified": q_neardup_verified,
         "dup_spans": q_dup_spans,
+        "chunk_dedup": q_chunk_dedup,
+        "mention_cooccurrence": q_mention_cooccurrence,
         "pricing_summary": q_pricing_summary,
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
@@ -2228,6 +2259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # goes more than two rounds unverified. Entries not listed keep their
     # dict order at the tail (all driver-green in r4).
     window = [
+        "chunk_dedup", "mention_cooccurrence",
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
         "neardup_verified", "pack_bins", "lang_id_ngram", "image_neardup",
@@ -2783,6 +2815,31 @@ def oracle_sql() -> dict[str, str]:
                    '-' AS identifier
             FROM men
         """,
+        # ops/graph.py::mention_cooccurrence — composes the proven
+        # kg_mentions CTE chain; N = COUNT(documents) (the pipeline is
+        # 1:1 page per document, pinned by kg_extract_text). The ln()
+        # chain keeps the engine's exact left association — each ln arg
+        # is one integer, so int->double conversion is exact both sides
+        # and libm parity (unigram_logprob precedent) gives bit equality.
+        "mention_cooccurrence": f"""
+            WITH {_kg_mention_ctes()},
+            k AS (SELECT DISTINCT doc_id,
+                         label || ':' || lower(text) AS key
+                  FROM men),
+            df AS (SELECT key, COUNT(*) AS df FROM k GROUP BY key),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            p AS (SELECT a.key AS ka, b.key AS kb, COUNT(*) AS c
+                  FROM k a JOIN k b
+                    ON a.doc_id = b.doc_id AND a.key < b.key
+                  GROUP BY 1, 2)
+            SELECT p.ka AS key_a, p.kb AS key_b,
+                   CAST(p.c AS BIGINT) AS n_docs,
+                   CAST(FLOOR(1000000 * (((ln(p.c)
+                        + ln((SELECT n FROM nn))) - ln(da.df))
+                        - ln(db.df))) AS BIGINT) AS pmi_micro
+            FROM p JOIN df da ON da.key = p.ka
+                   JOIN df db ON db.key = p.kb
+        """,
         # Dict-tier-only linker oracle: the engine runs with a zero
         # embedder (every cosine 0 < threshold), so the full cascade
         # reduces to dictionary joins + per-doc majority votes (first-wins
@@ -2986,6 +3043,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MIN(pos) AS start_word,
                    MAX(pos) + 5 AS end_word
             FROM grpd GROUP BY doc_id, island
+        """,
+        # ops/dedup.py::chunk_dedup — same tokenization (empties dropped),
+        # same non-overlapping 8-token chunking incl. the final partial
+        # chunk, keeper = min (doc_id, idx) via ROW_NUMBER, kept text
+        # re-joined in idx order; md5('') for chunk-free docs both sides.
+        "chunk_dedup": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(
+                                  lower(COALESCE(text, '')), ' '),
+                                  x -> x <> '') AS l
+                       FROM documents),
+            ch AS (SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS idx,
+                          array_to_string(
+                              l[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)],
+                              ' ') AS chunk
+                   FROM w, UNNEST(range(1, len(l) + 1, 8)) AS t(i)),
+            rk AS (SELECT doc_id, idx, chunk,
+                          ROW_NUMBER() OVER (PARTITION BY chunk
+                              ORDER BY doc_id, idx) AS rn
+                   FROM ch),
+            agg AS (SELECT doc_id,
+                           COUNT(*) AS n_chunks,
+                           COUNT(*) FILTER (WHERE rn > 1) AS n_dropped,
+                           COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                                    FILTER (WHERE rn = 1), '') AS kept
+                    FROM rk GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+                   md5(COALESCE(a.kept, '')) AS kept_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # End-to-end recall oracle: the SQL enumerates ALL unordered pairs
         # with word-trigram Jaccard >= 0.5 (distinct-string trigrams ==

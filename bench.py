@@ -91,6 +91,7 @@ def _run_bench() -> dict:
         "lang_id_ngram", "image_neardup", "dup_spans",
         # late-round-5 operators
         "event_transitions", "unigram_logprob", "bm25_topk",
+        "chunk_dedup", "mention_cooccurrence",
     ]
 
     per_query = {}

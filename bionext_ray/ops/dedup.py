@@ -1125,3 +1125,124 @@ def duplicate_text_spans(documents_ds, k: int = 5, id_col: str = "doc_id",
                 dup_occ.map_batches(tag_doc, batch_format="pyarrow"), P)
             .groupby("__bucket")
             .map_groups(merge_spans, batch_format="pandas"))
+
+
+# -------------------------------------------------- corpus-level span dedup
+def chunk_dedup(documents_ds, width: int = 8, id_col: str = "doc_id",
+                text_col: str = "text",
+                shuffle_partitions: int | None = None):
+    """C4-style corpus-level exact span deduplication with text
+    reconstruction (reference pattern: the C4 three-sentence-span rule —
+    every occurrence of a repeated span is removed EXCEPT the first one in
+    corpus order). Spans here are deterministic fixed-width token chunks:
+    tokens are the repo-standard space split of lowercased text with
+    empties dropped, chunked into consecutive non-overlapping ``width``
+    windows (the final partial chunk is a chunk of its own, so every token
+    belongs to exactly one chunk). The keeper of a distinct chunk string
+    is its minimum (doc, chunk_idx) occurrence; all other occurrences are
+    cut, including repeats inside the keeper document itself.
+
+    Shape — exactly TWO bucketed exchanges, nothing on the driver:
+      1. one chunk-hash-bucketed exchange of (chunk, id, idx) occurrence
+         rows; inside each bucket one sort + duplicated() scan marks the
+         winner per chunk (chunks are bucket-complete, so bucket-local
+         min IS the global min) and reduces losers to per-doc drop counts
+         — loser chunk STRINGS never cross the second exchange;
+      2. one doc-bucketed exchange of winner rows + drop-count partials +
+         one sentinel row per document (so token-free docs still get an
+         output row); per doc the kept chunks re-join in idx order.
+
+    Returns one row per input document:
+    (id, n_chunks, n_dropped, kept_md5) where kept_md5 is md5 of the
+    space-joined surviving chunks ('' when nothing survives) — the
+    SQL-mirrorable digest convention shared with duplicate_text_spans.
+    """
+    import pandas as pd
+
+    from bionext_ray.ops.relational import coalesce_for_exchange
+
+    P = max(16, shuffle_partitions or 0)
+    md5 = hashlib.md5
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        texts = pc.coalesce(b[text_col], "").to_pylist()
+        ids = b[id_col].to_pylist()
+        out_id, out_idx, out_ch, out_bkt = [], [], [], []
+        for did, t in zip(ids, texts):
+            words = [w for w in t.lower().split(" ") if w]
+            for i in range(0, len(words), width):
+                chunk = " ".join(words[i:i + width])
+                out_id.append(did)
+                out_idx.append(i // width)
+                out_ch.append(chunk)
+                out_bkt.append(int.from_bytes(
+                    md5(chunk.encode("utf-8")).digest()[:8],
+                    "little") % P)
+            # sentinel: routes straight to the doc bucket in exchange 2,
+            # guaranteeing an output row for chunk-free documents
+            out_id.append(did)
+            out_idx.append(-2)
+            out_ch.append("")
+            out_bkt.append(abs(int(did)) % P)
+        return pa.table({
+            "__bucket": pa.array(out_bkt, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "idx": pa.array(out_idx, pa.int64()),
+            "chunk": pa.array(out_ch, pa.string()),
+        })
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        sent = g[g["idx"] == -2]
+        occ = g[g["idx"] >= 0]
+        occ = occ.sort_values(["chunk", id_col, "idx"], kind="mergesort")
+        first = ~occ["chunk"].duplicated().to_numpy()
+        kept = occ[first]
+        drops = occ[~first].groupby(id_col, sort=False).size()
+        return pd.concat([
+            pd.DataFrame({id_col: kept[id_col].to_numpy(np.int64),
+                          "idx": kept["idx"].to_numpy(np.int64),
+                          "chunk": kept["chunk"].to_numpy(object),
+                          "drop_n": np.zeros(len(kept), np.int64)}),
+            pd.DataFrame({id_col: drops.index.to_numpy(np.int64),
+                          "idx": np.full(len(drops), -1, np.int64),
+                          "chunk": np.full(len(drops), "", object),
+                          "drop_n": drops.to_numpy(np.int64)}),
+            pd.DataFrame({id_col: sent[id_col].to_numpy(np.int64),
+                          "idx": np.full(len(sent), -2, np.int64),
+                          "chunk": np.full(len(sent), "", object),
+                          "drop_n": np.zeros(len(sent), np.int64)}),
+        ], ignore_index=True)
+
+    marked = (coalesce_for_exchange(
+                  documents_ds.map_batches(occurrences,
+                                           batch_format="pyarrow"), P)
+              .groupby("__bucket")
+              .map_groups(winners, batch_format="pandas"))
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "__bucket", pa.array(np.abs(ids) % P, pa.int64()))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "idx"], kind="mergesort")
+        out_id, out_n, out_drop, out_md5 = [], [], [], []
+        for did, sub in g.groupby(id_col, sort=False):
+            kept = sub[sub["idx"] >= 0]
+            n_drop = int(sub["drop_n"].sum())
+            out_id.append(did)
+            out_n.append(len(kept) + n_drop)
+            out_drop.append(n_drop)
+            out_md5.append(md5(" ".join(kept["chunk"].tolist())
+                               .encode("utf-8")).hexdigest())
+        return pd.DataFrame({id_col: pd.array(out_id, dtype=np.int64),
+                             "n_chunks": pd.array(out_n, dtype=np.int64),
+                             "n_dropped": pd.array(out_drop,
+                                                   dtype=np.int64),
+                             "kept_md5": pd.array(out_md5, dtype=object)})
+
+    return (coalesce_for_exchange(
+                marked.map_batches(tag_doc, batch_format="pyarrow"), P)
+            .groupby("__bucket")
+            .map_groups(finalize, batch_format="pandas"))

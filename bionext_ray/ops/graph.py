@@ -1076,3 +1076,85 @@ def pagerank_weighted(edges_ds, iters: int = 3, damping_pct: int = 85,
     return ranks.map_batches(
         lambda b: pa.table({"node": b["v"], "pr_scaled": b["pr"]}),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------ entity co-mention PMI
+def mention_cooccurrence(tagged_ds, shuffle_partitions: int | None = None):
+    """Entity co-mention PMI over the tagger's nested per-doc output —
+    the classic step from a mention table to a knowledge-graph signal
+    (which entity pairs co-occur more often than chance; reference
+    pattern: BioNExt's relation candidates are exactly the per-doc
+    entity pairs, src/extractor/dataset.py candidate enumeration).
+
+    A mention key is ``label || ':' || lower(text)`` (labels are a fixed
+    identifier set and never contain ':'). Per document the DISTINCT key
+    set produces unordered pairs (lexicographic key_a < key_b); the
+    output row per pair carries the co-mention document count and
+    pmi_micro = floor(1e6 * (((ln(c) + ln(N)) - ln(df_a)) - ln(df_b)))
+    with N = total documents. Each ln() argument is a SINGLE integer —
+    exact int->double conversion at any corpus size, no c*N product to
+    overflow — and the left-associated +/- chain is mirrored
+    parenthesis-for-parenthesis by the SQL oracle, so libm ln() parity
+    (proven for unigram_logprob / bm25_topk) makes the floored micro
+    value bit-identical.
+
+    Shape: ONE pass over the tagged dataset emitting in-batch
+    pre-aggregated partials (side 0 = pair counts, side 1 = key doc
+    frequencies, side 2 = batch doc count) -> ONE bucketed exchange
+    (bucketed_agg) -> the aggregate lands on the driver for final PMI
+    scoring. That driver materialization is KB-BOUNDED by construction:
+    distinct keys <= |gazetteer surfaces| x |labels| and pairs <= keys^2
+    — a property of the tagger's closed vocabulary, not of corpus size —
+    so it is the broadcast-small-side pattern, not a corpus collect.
+    """
+    import math
+    from collections import Counter
+
+    from .relational import bucketed_agg
+
+    def partials(b: pa.Table) -> pa.Table:
+        pair_c: Counter = Counter()
+        df_c: Counter = Counter()
+        for ms in b["mentions"].to_pylist():
+            keys = sorted({f"{m['label']}:{m['text'].lower()}"
+                           for m in ms})
+            df_c.update(keys)
+            for i in range(len(keys)):
+                for j in range(i + 1, len(keys)):
+                    pair_c[(keys[i], keys[j])] += 1
+        sides, kas, kbs, ns = [], [], [], []
+        for (ka, kb), n in pair_c.items():
+            sides.append(0); kas.append(ka); kbs.append(kb); ns.append(n)
+        for k, n in df_c.items():
+            sides.append(1); kas.append(k); kbs.append(""); ns.append(n)
+        sides.append(2); kas.append(""); kbs.append("")
+        ns.append(b.num_rows)
+        return pa.table({"side": pa.array(sides, pa.int8()),
+                         "ka": pa.array(kas, pa.string()),
+                         "kb": pa.array(kbs, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = bucketed_agg(
+        tagged_ds.map_batches(partials, batch_format="pyarrow"),
+        ["side", "ka", "kb"], [("n", "sum", "n")],
+        shuffle_partitions=shuffle_partitions).to_pandas()
+    if "n" not in agg.columns:    # mention-free empty corpus
+        return pa.table({"key_a": pa.array([], pa.string()),
+                         "key_b": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "pmi_micro": pa.array([], pa.int64())})
+    n_total = int(agg.loc[agg["side"] == 2, "n"].sum()) or 1
+    df = dict(zip(agg.loc[agg["side"] == 1, "ka"],
+                  agg.loc[agg["side"] == 1, "n"].astype(int)))
+    pairs = agg[agg["side"] == 0].sort_values(["ka", "kb"],
+                                              kind="mergesort")
+    ln, floor = math.log, math.floor
+    pmi = [floor(1_000_000 * (((ln(int(c)) + ln(n_total))
+                               - ln(df[a])) - ln(df[b])))
+           for a, b, c in zip(pairs["ka"], pairs["kb"], pairs["n"])]
+    return pa.table({
+        "key_a": pa.array(pairs["ka"].tolist(), pa.string()),
+        "key_b": pa.array(pairs["kb"].tolist(), pa.string()),
+        "n_docs": pa.array(pairs["n"].astype(int).tolist(), pa.int64()),
+        "pmi_micro": pa.array(pmi, pa.int64()),
+    })

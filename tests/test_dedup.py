@@ -499,3 +499,88 @@ def test_duplicate_text_spans_merges_islands(ray_session):
     assert (1, 9, 14) in spans      # tail 'a b c d e'
     assert (2, 1, 7) in spans       # doc2 positions 1,2 -> [1, 2+5)
     assert not any(d == 3 for d, _, _ in spans)
+
+
+# ------------------------------------------------------------- chunk_dedup
+def _chunk_dedup_reference(texts, ids, width=8):
+    """Plain-Python replay of the chunk_dedup contract."""
+    import hashlib
+    occ = []   # (chunk, doc, idx)
+    per_doc = {}
+    for did, t in zip(ids, texts):
+        words = [w for w in (t or "").lower().split(" ") if w]
+        chunks = [" ".join(words[i:i + width])
+                  for i in range(0, len(words), width)]
+        per_doc[did] = chunks
+        for idx, c in enumerate(chunks):
+            occ.append((c, did, idx))
+    winner = {}
+    for c, did, idx in sorted(occ, key=lambda x: (x[1], x[2])):
+        winner.setdefault(c, (did, idx))
+    rows = []
+    for did in ids:
+        chunks = per_doc[did]
+        kept = [c for idx, c in enumerate(chunks)
+                if winner[c] == (did, idx)]
+        rows.append((did, len(chunks), len(chunks) - len(kept),
+                     hashlib.md5(" ".join(kept).encode()).hexdigest()))
+    return sorted(rows)
+
+
+def test_chunk_dedup_matches_reference(ray_session):
+    """Randomized duplicate-heavy corpus vs the plain replay, at two block
+    layouts (results must not depend on partitioning)."""
+    import ray.data
+
+    from bionext_ray.ops.dedup import chunk_dedup
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(9)]   # tiny vocab -> real chunk dups
+    texts, ids = [], []
+    for d in range(60):
+        n = int(rng.integers(0, 40))
+        texts.append(" ".join(rng.choice(vocab, n)))
+        ids.append(d)
+    texts[7] = texts[3]                   # full-doc duplicate
+    texts[11] = texts[3] + " " + texts[3]  # within-doc repeated chunks
+    want = _chunk_dedup_reference(texts, ids, width=4)
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(_docs_table(texts, ids)).repartition(parts)
+        got = sorted(map(tuple, chunk_dedup(ds, width=4)
+                         .to_pandas().to_numpy().tolist()))
+        assert got == want, parts
+
+
+def test_chunk_dedup_degenerate_docs(ray_session):
+    """Empty / NULL / whitespace-only docs still get a row: (0, 0, md5(''))."""
+    import hashlib
+
+    import ray.data
+
+    from bionext_ray.ops.dedup import chunk_dedup
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["", None, "   "], pa.string())})
+    got = (chunk_dedup(ray.data.from_arrow(t), width=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    empty = hashlib.md5(b"").hexdigest()
+    assert got["n_chunks"].tolist() == [0, 0, 0]
+    assert got["n_dropped"].tolist() == [0, 0, 0]
+    assert got["kept_md5"].tolist() == [empty] * 3
+
+
+def test_chunk_dedup_first_occurrence_wins(ray_session):
+    """The keeper is the minimum (doc_id, idx) occurrence — later docs lose
+    their copy even when they appear in an earlier block."""
+    import hashlib
+
+    import ray.data
+
+    from bionext_ray.ops.dedup import chunk_dedup
+    # doc 1 and doc 9 share one 2-token chunk; doc 9 sorts after doc 1 no
+    # matter which block it lands in
+    t = pa.table({"doc_id": pa.array([9, 1], pa.int64()),
+                  "text": pa.array(["a b x y", "a b"], pa.string())})
+    got = (chunk_dedup(ray.data.from_arrow(t), width=2)
+           .to_pandas().set_index("doc_id"))
+    assert got.loc[1, "n_dropped"] == 0
+    assert got.loc[9, "n_dropped"] == 1
+    assert got.loc[9, "kept_md5"] == hashlib.md5(b"x y").hexdigest()

@@ -411,3 +411,58 @@ def test_pagerank_empty_graph(ray_session):
     from bionext_ray.ops.graph import pagerank, pagerank_weighted
     assert len(pagerank(_edge_ds([]), iters=2).to_pandas()) == 0
     assert len(pagerank_weighted(_edge_ds([]), iters=2).to_pandas()) == 0
+
+
+# -------------------------------------------------- mention_cooccurrence
+def test_mention_cooccurrence_matches_reference(ray_session):
+    """Hand-built nested tagged dataset vs an inline replay of the PMI
+    contract, at two block layouts."""
+    import math
+
+    from bionext_ray.ops.graph import mention_cooccurrence
+
+    def doc(did, pairs):
+        return {"doc_id": did,
+                "mentions": [{"label": l, "text": t} for l, t in pairs]}
+
+    rows = [
+        doc("d0", [("Gene", "BRCA1"), ("Disease", "cancer"),
+                   ("Gene", "brca1")]),       # case-folds to one key
+        doc("d1", [("Gene", "BRCA1"), ("Disease", "cancer")]),
+        doc("d2", [("Disease", "cancer")]),   # single key -> no pairs
+        doc("d3", []),                        # mention-free, counts in N
+        doc("d4", [("Gene", "BRCA1"), ("Chemical", "aspirin"),
+                   ("Disease", "cancer")]),
+    ]
+    n_total = len(rows)
+    keysets = [sorted({f"{m['label']}:{m['text'].lower()}"
+                       for m in r["mentions"]}) for r in rows]
+    df = {}
+    for ks in keysets:
+        for k in ks:
+            df[k] = df.get(k, 0) + 1
+    pair_c = {}
+    for ks in keysets:
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                pair_c[(ks[i], ks[j])] = pair_c.get((ks[i], ks[j]), 0) + 1
+    want = sorted(
+        (a, b, c,
+         math.floor(1_000_000 * (((math.log(c) + math.log(n_total))
+                                  - math.log(df[a])) - math.log(df[b]))))
+        for (a, b), c in pair_c.items())
+
+    for parts in (1, 3):
+        ds = ray.data.from_items(rows).repartition(parts)
+        got = sorted(map(tuple,
+                         mention_cooccurrence(ds).to_pandas()
+                         .to_numpy().tolist()))
+        assert got == want, parts
+
+
+def test_mention_cooccurrence_empty_corpus(ray_session):
+    from bionext_ray.ops.graph import mention_cooccurrence
+    ds = ray.data.from_items([{"doc_id": "d0", "mentions": []}])
+    got = mention_cooccurrence(ds).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["key_a", "key_b", "n_docs", "pmi_micro"]

@@ -65,7 +65,7 @@ def test_rows_only_queries(ray_session):
 
 TEXTSTATS_QUERIES = ["token_count", "bpe_token_count", "lang_id", "quality",
                      "fingerprint", "term_counts", "top_docs_per_lang",
-                     "repetition_stats"]
+                     "repetition_stats", "chunk_dedup"]
 
 
 def test_degenerate_documents_vs_oracle(ray_session, tmp_path):
