@@ -1326,6 +1326,29 @@ def q_cocitation(sf_dir: str):
     return cocitation(links, src="src_host", dst="dst_host")
 
 
+def q_neighbor_jaccard(sf_dir: str):
+    """Related hosts by out-neighborhood Jaccard over the lineitem-derived
+    link graph (same deterministic edge table as q_pagerank): for every
+    source pair sharing >=1 target, |A∩B| and the integer-ppm Jaccard
+    (1e6*inter // union, floor arithmetic end-to-end). One dst-bucketed
+    pair-expansion exchange + one pair-bucketed sum; degrees attach via
+    the gated broadcast lookup."""
+    from bionext_ray.ops.graph import neighbor_jaccard
+    edges, sp = _lineitem_edges(sf_dir)
+    return neighbor_jaccard(edges, shuffle_partitions=sp)
+
+
+def q_kcore(sf_dir: str):
+    """11-core of the undirected lineitem-derived graph by iterative
+    peeling (k=11 sits at the fixture's mean degree, so the small SF
+    cascades through multiple peel rounds). Emits surviving (node, deg);
+    the oracle unrolls 10 peel rounds as chained CTEs — idempotent past
+    convergence, and the engine fails loud beyond the same cap."""
+    from bionext_ray.ops.graph import kcore
+    edges, sp = _lineitem_edges(sf_dir)
+    return kcore(edges, k=11, max_rounds=10, shuffle_partitions=sp)
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking: every doc pair within 2 positions of
     each other in (md5(text), doc_id) order — the classic ER candidate
@@ -2150,6 +2173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "crawl_latest": q_crawl_latest,
         "cocitation": q_cocitation,
+        # -- new in round 5 --
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "kcore": q_kcore,
         "corpus_curation": q_corpus_curation,
         "url_stats": q_url_stats,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2259,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # goes more than two rounds unverified. Entries not listed keep their
     # dict order at the tail (all driver-green in r4).
     window = [
+        "neighbor_jaccard", "kcore",
         "chunk_dedup", "mention_cooccurrence",
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
@@ -2330,6 +2357,35 @@ def oracle_sql() -> dict[str, str]:
                 f" GROUP BY e.dst) c ON nd.v = c.v)")
         return ("WITH " + ", ".join(ctes)
                 + f" SELECT v AS node, pr AS pr_scaled FROM pr{iters}")
+
+    def _kcore_sql(k: int = 11, rounds: int = 10) -> str:
+        """Unroll k-core peeling (ops/graph.py::kcore) as chained CTEs:
+        each round deletes every node of undirected degree < k. Peeling
+        is a fixpoint, so rounds beyond convergence are no-ops — the
+        engine fails loud if it needs more than the same ``rounds``."""
+        # MATERIALIZED: each e{i} is referenced 3x by round i+1 — default
+        # CTE inlining would expand the chain 3^rounds times
+        ctes = [
+            "mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m "
+            "FROM lineitem)",
+            "de AS MATERIALIZED (SELECT DISTINCT "
+            "l_orderkey % (SELECT m FROM mods) AS s, "
+            "l_partkey % (SELECT m FROM mods) AS d FROM lineitem)",
+            "e0 AS MATERIALIZED (SELECT s AS u, d AS v FROM de "
+            "WHERE s <> d UNION SELECT d, s FROM de WHERE s <> d)",
+        ]
+        for i in range(1, rounds + 1):
+            p = i - 1
+            ctes.append(
+                f"b{i} AS MATERIALIZED (SELECT u FROM e{p} "
+                f"GROUP BY u HAVING COUNT(*) < {k})")
+            ctes.append(
+                f"e{i} AS MATERIALIZED (SELECT u, v FROM e{p} "
+                f"WHERE u NOT IN (SELECT u FROM b{i}) "
+                f"AND v NOT IN (SELECT u FROM b{i}))")
+        return ("WITH " + ", ".join(ctes)
+                + f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg"
+                f" FROM e{rounds} GROUP BY u")
 
     def _hits_sql(iters: int = 2) -> str:
         """Unroll the integer HITS recurrence (ops/graph.py::hits:
@@ -3651,6 +3707,28 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(3),
         "pagerank_weighted": _pagerank_weighted_sql(3),
         "hits": _hits_sql(2),
+        "kcore": _kcore_sql(11, 10),
+        "neighbor_jaccard": """
+            WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
+                          FROM lineitem),
+                 e AS (SELECT DISTINCT
+                              l_orderkey % (SELECT m FROM mods) AS s,
+                              l_partkey % (SELECT m FROM mods) AS d
+                       FROM lineitem),
+                 deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+                 inter AS (SELECT a.s AS node_a, b.s AS node_b,
+                                  COUNT(*) AS n_common
+                           FROM e a JOIN e b ON a.d = b.d AND a.s < b.s
+                           GROUP BY 1, 2)
+            SELECT i.node_a, i.node_b,
+                   CAST(i.n_common AS BIGINT) AS n_common,
+                   CAST((1000000 * i.n_common)
+                        // (da.deg + db.deg - i.n_common) AS BIGINT)
+                       AS jaccard_ppm
+            FROM inter i
+            JOIN deg da ON i.node_a = da.s
+            JOIN deg db ON i.node_b = db.s
+        """,
         "degree_dist": """
             WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
                           FROM lineitem),

@@ -1158,3 +1158,260 @@ def mention_cooccurrence(tagged_ds, shuffle_partitions: int | None = None):
         "n_docs": pa.array(pairs["n"].astype(int).tolist(), pa.int64()),
         "pmi_micro": pa.array(pmi, pa.int64()),
     })
+
+
+def neighbor_jaccard(edges_ds, src: str = "src", dst: str = "dst",
+                     min_common: int = 1, max_in_degree: int | None = None,
+                     shuffle_partitions: int | None = None,
+                     broadcast_nodes_max: int = 5_000_000):
+    """Out-neighborhood Jaccard similarity between every source pair that
+    shares at least one target — the set-overlap companion to
+    :func:`cocitation` (SimRank's first iteration; the classic
+    "related hosts by common out-links" signal used to promote candidate
+    KG edges). Returns (node_a, node_b, n_common, jaccard_ppm) with
+    node_a < node_b and jaccard_ppm = (1_000_000 * |A∩B|) // |A∪B| —
+    integer floor arithmetic end-to-end so a DuckDB self-join oracle
+    matches bit-for-bit. Integer node ids (cast to int64, like the other
+    spectral/centrality ops here).
+
+    Shape: ONE dst-bucketed exchange does all the per-target work — every
+    copy of an edge lands in its target's bucket, so the in-bucket
+    drop_duplicates is globally exact, and the same deduped bucket then
+    emits BOTH the source-pair intersection partials (vectorized
+    within-target expansion + in-task pre-aggregation) and the per-source
+    degree partials, union-tagged in one output (the fused-exchange
+    pattern from mention_cooccurrence — a separate distinct_edges +
+    out_degrees pass would cost one extra |E| exchange, measured ~4 s of
+    12 at bench scale). Then ONE pair-bucketed sum (the dominant, output-
+    sized exchange) and one node-sized degree sum. Degrees attach via a
+    broadcast lookup while the source-node vector fits
+    ``broadcast_nodes_max`` (16 B/node, same gate as pagerank); above it,
+    two bucketed shuffle_joins — no driver-resident pair table on either
+    path.
+
+    Documented fan-out assumption (mirror in any oracle): a target of
+    in-degree d emits C(d, 2) pairs; on power-law in-degree graphs cap it
+    with ``max_in_degree`` — targets above the cap are DROPPED as pair
+    generators (degrees still count the full neighbor sets), the same
+    standard truncation as cocitation's ``max_out_degree``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from bionext_ray.ops.relational import (_key_buckets, bucketed_agg,
+                                            coalesce_for_exchange,
+                                            shuffle_join)
+
+    # the pair expansion multiplies rows ~avg-in-degree×, so byte-based
+    # partition estimates sized on the INPUT starve the exchanges that
+    # carry the OUTPUT: floor the bucket count at 2 groups/CPU (measured
+    # 12 s -> 4 s at bench scale vs a 16-bucket floor)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    P = max(16, 2 * ncpu, shuffle_partitions or 0)
+
+    def local(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            src: pa.compute.cast(b[src], pa.int64()),
+            dst: pa.compute.cast(b[dst], pa.int64()),
+        }).group_by([src, dst]).aggregate([])  # block-local distinct
+        d = t[dst].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array(_key_buckets(d, P), pa.int64()))
+
+    def expand(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop_duplicates([src, dst])    # globally exact: dst-bucketed
+             .sort_values([dst, src], kind="mergesort"))
+        s = g[src].to_numpy()
+        # degree partials BEFORE the cap: degrees count full neighbor sets
+        dp = pd.Series(s).value_counts(sort=False)
+        sizes = g.groupby(dst, sort=False).size().to_numpy()
+        if max_in_degree is not None:
+            g = g[np.repeat(sizes <= max_in_degree, sizes)]
+            sizes = sizes[sizes <= max_in_degree]
+            s = g[src].to_numpy()
+        li, ri = _pairs_within_groups(sizes)
+        part = (pd.DataFrame({"node_a": s[li], "node_b": s[ri]})
+                .groupby(["node_a", "node_b"], sort=False)
+                .size().rename("n_common").reset_index())
+        na = np.concatenate([part["node_a"].to_numpy(np.int64),
+                             dp.index.to_numpy(np.int64)])
+        nb = np.concatenate([part["node_b"].to_numpy(np.int64),
+                             np.zeros(len(dp), np.int64)])
+        nc = np.concatenate([part["n_common"].to_numpy(np.int64),
+                             dp.to_numpy(np.int64)])
+        side = np.concatenate([np.zeros(len(part), np.int64),
+                               np.ones(len(dp), np.int64)])
+        return pa.table({"node_a": pa.array(na, pa.int64()),
+                         "node_b": pa.array(nb, pa.int64()),
+                         "n_common": pa.array(nc, pa.int64()),
+                         "__side": pa.array(side, pa.int64())})
+
+    tagged = edges_ds.map_batches(local, batch_format="pyarrow")
+    grouped = (coalesce_for_exchange(tagged, P)
+               .groupby("__bucket")
+               .map_groups(expand, batch_format="pandas"))
+    grouped = grouped.materialize()          # two consumers: pairs + degrees
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["__side"], 1))
+        return pa.table({"v": t["node_a"], "deg": t["n_common"]})
+
+    deg = bucketed_agg(grouped.map_batches(deg_rows, batch_format="pyarrow"),
+                       ["v"], [("deg", "sum", "deg")],
+                       shuffle_partitions=P).materialize()
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["__side"], 0)) \
+            .select(["node_a", "node_b", "n_common"])
+
+    inter = bucketed_agg(
+        grouped.map_batches(pair_rows, batch_format="pyarrow"),
+        ["node_a", "node_b"], [("n_common", "sum", "n_common")],
+        shuffle_partitions=P)
+    if min_common > 1:
+        inter = inter.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n_common"], min_common)),
+            batch_format="pyarrow")
+
+    def score(b: pa.Table, da, db) -> pa.Table:
+        nc = b["n_common"].to_numpy(zero_copy_only=False)
+        union = da + db - nc               # >= nc >= 1: never divides by 0
+        return pa.table({
+            "node_a": b["node_a"], "node_b": b["node_b"],
+            "n_common": b["n_common"],
+            "jaccard_ppm": pa.array((1_000_000 * nc) // union, pa.int64()),
+        })
+
+    if deg.count() <= broadcast_nodes_max:
+        parts = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
+        node_arr = np.concatenate(
+            [t["v"].to_numpy(zero_copy_only=False) for t in parts]
+            or [np.array([], np.int64)]).astype(np.int64)
+        deg_arr = np.concatenate(
+            [t["deg"].to_numpy(zero_copy_only=False) for t in parts]
+            or [np.array([], np.int64)]).astype(np.int64)
+        order = np.argsort(node_arr, kind="stable")
+        ref = ray.put((node_arr[order], deg_arr[order]))
+
+        def lookup(b: pa.Table) -> pa.Table:
+            narr, darr = ray.get(ref)      # zero-copy local read
+            a = b["node_a"].to_numpy(zero_copy_only=False)
+            c = b["node_b"].to_numpy(zero_copy_only=False)
+            return score(b, darr[np.searchsorted(narr, a)],
+                         darr[np.searchsorted(narr, c)])
+
+        return inter.map_batches(lookup, batch_format="pyarrow")
+
+    j1 = shuffle_join(inter, deg, on=("node_a", "v"),
+                      left_cols=["node_b", "n_common"], right_cols=["deg"],
+                      shuffle_partitions=shuffle_partitions)
+    j1 = j1.map_batches(lambda b: b.rename_columns(
+        ["deg_a" if c == "deg" else c for c in b.column_names]),
+        batch_format="pyarrow")
+    j2 = shuffle_join(j1, deg, on=("node_b", "v"),
+                      left_cols=["node_a", "n_common", "deg_a"],
+                      right_cols=["deg"],
+                      shuffle_partitions=shuffle_partitions)
+
+    def score_joined(b: pa.Table) -> pa.Table:
+        return score(b, b["deg_a"].to_numpy(zero_copy_only=False),
+                     b["deg"].to_numpy(zero_copy_only=False))
+
+    return j2.map_batches(score_joined, batch_format="pyarrow")
+
+
+def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
+          max_rounds: int = 10, shuffle_partitions: int | None = None,
+          broadcast_nodes_max: int = 5_000_000):
+    """k-core decomposition by iterative peeling (Seidman 1983): treat the
+    input as an UNDIRECTED simple graph (both orientations unioned,
+    self-loops dropped, globally distinct), repeatedly delete every node
+    of degree < k until none remains, and return the surviving core as
+    (node, deg) — deg is the node's degree WITHIN the final core, so
+    every emitted deg >= k. The standard web-graph densest-region /
+    community-seed primitive.
+
+    Peeling is a fixpoint, so the result is independent of round
+    grouping; a DuckDB oracle that unrolls ``max_rounds`` peel rounds as
+    chained CTEs matches exactly PROVIDED the engine converged within the
+    same bound — the engine raises (fail loud, like the connected-
+    components round cap) if a round ``max_rounds`` still has sub-k
+    nodes, rather than silently returning a non-core.
+
+    Shape per round: one node-sized bucketed degree count over the
+    current edge set, a driver-side scalar count of sub-k nodes (the
+    only driver-resident value), then an edge filter. While the victim
+    set fits ``broadcast_nodes_max`` the filter is a broadcast
+    ``np.isin`` streamed over the edges (no exchange); above it the
+    survivor set semi-joins the edges twice (two bucketed exchanges).
+    Each round's edge set is materialized because two consumers read it
+    (degree count + filter); block count stays at the exchange
+    granularity — no union growth across rounds."""
+    import ray
+
+    from bionext_ray.ops.relational import shuffle_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = pa.compute.cast(b[src], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = pa.compute.cast(b[dst], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
+                         "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    cur = distinct_edges(edges_ds.map_batches(sym, batch_format="pyarrow"),
+                         shuffle_partitions=shuffle_partitions)
+    cur = cur.materialize()
+
+    for rnd in range(max_rounds + 1):
+        # symmetric edge table: out-degree IS the undirected degree
+        deg = out_degrees(cur,
+                          shuffle_partitions=shuffle_partitions)
+        deg = deg.materialize()            # read 2-3x below
+
+        def split(keep_core: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                m = pc.greater_equal(b["deg"], k)
+                return b.filter(m if keep_core else pc.invert(m))
+            return fn
+
+        bad = deg.map_batches(split(False), batch_format="pyarrow")
+        n_bad = bad.count()
+        if n_bad == 0:
+            return deg.map_batches(
+                lambda b: pa.table({"node": b["v"], "deg": b["deg"]}),
+                batch_format="pyarrow")
+        if rnd == max_rounds:
+            raise RuntimeError(
+                f"kcore: not converged after {max_rounds} rounds "
+                f"({n_bad} sub-{k} nodes remain) — raise max_rounds AND "
+                "the oracle's unroll depth together")
+
+        if n_bad <= broadcast_nodes_max:
+            bad_arr = np.sort(np.concatenate(
+                [t["v"].to_numpy(zero_copy_only=False)
+                 for t in ray.get(bad.to_arrow_refs()) if t.num_rows]
+                or [np.array([], np.int64)]).astype(np.int64))
+            ref = ray.put(bad_arr)
+
+            def drop(b: pa.Table) -> pa.Table:
+                barr = ray.get(ref)
+                s = b["src"].to_numpy(zero_copy_only=False)
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                keep = ~(np.isin(s, barr) | np.isin(d, barr))
+                return b.filter(pa.array(keep))
+
+            cur = cur.map_batches(drop, batch_format="pyarrow").materialize()
+        else:
+            surv = deg.map_batches(split(True), batch_format="pyarrow")
+            surv = surv.select_columns(["v"]).materialize()
+            half = shuffle_join(cur, surv, on=("src", "v"),
+                                left_cols=["dst"], right_cols=[],
+                                shuffle_partitions=shuffle_partitions)
+            cur = shuffle_join(half, surv, on=("dst", "v"),
+                               left_cols=["src"], right_cols=[],
+                               shuffle_partitions=shuffle_partitions)
+            cur = cur.materialize()

@@ -466,3 +466,106 @@ def test_mention_cooccurrence_empty_corpus(ray_session):
     got = mention_cooccurrence(ds).to_pandas()
     assert len(got) == 0
     assert list(got.columns) == ["key_a", "key_b", "n_docs", "pmi_micro"]
+
+
+def _jaccard_ref(raw):
+    by_src = {}
+    for s, d in set(raw):
+        by_src.setdefault(s, set()).add(d)
+    want = {}
+    for a, b in combinations(sorted(by_src), 2):
+        inter = len(by_src[a] & by_src[b])
+        if inter:
+            want[(a, b)] = (inter,
+                            1_000_000 * inter // len(by_src[a] | by_src[b]))
+    return want
+
+
+def test_neighbor_jaccard_matches_bruteforce(ray_session):
+    from bionext_ray.ops.graph import neighbor_jaccard
+    rng = np.random.default_rng(11)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 15, (120, 2))]
+    want = _jaccard_ref(raw)
+    for nblocks in (1, 3):
+        got = neighbor_jaccard(_edge_ds(raw).repartition(nblocks)) \
+            .to_pandas()
+        got_map = {(r.node_a, r.node_b): (r.n_common, r.jaccard_ppm)
+                   for r in got.itertuples(index=False)}
+        assert got_map == want
+    # exchange (shuffle_join) degree path must agree with broadcast
+    got2 = neighbor_jaccard(_edge_ds(raw).repartition(3),
+                            broadcast_nodes_max=0).to_pandas()
+    assert {(r.node_a, r.node_b): (r.n_common, r.jaccard_ppm)
+            for r in got2.itertuples(index=False)} == want
+
+
+def test_neighbor_jaccard_cap_and_min_common(ray_session):
+    from bionext_ray.ops.graph import neighbor_jaccard
+    # target 9 has in-degree 4 (dropped at cap 3); srcs 1,2 share {7, 8}
+    raw = [(1, 7), (1, 8), (2, 7), (2, 8),
+           (1, 9), (2, 9), (3, 9), (4, 9)]
+    got = neighbor_jaccard(_edge_ds(raw), max_in_degree=3).to_pandas()
+    # with 9 dropped as a pair generator, only (1,2) shares targets;
+    # degrees still count the FULL neighbor sets ({7,8,9} each)
+    assert {(r.node_a, r.node_b): (r.n_common, r.jaccard_ppm)
+            for r in got.itertuples(index=False)} == {(1, 2): (2, 500000)}
+    # no cap: 1 and 2 share all of {7,8,9} -> Jaccard 1.0
+    got2 = neighbor_jaccard(_edge_ds(raw), min_common=3).to_pandas()
+    assert {(r.node_a, r.node_b): (r.n_common, r.jaccard_ppm)
+            for r in got2.itertuples(index=False)} == {(1, 2): (3, 1000000)}
+    assert len(neighbor_jaccard(_edge_ds(raw),
+                                min_common=4).to_pandas()) == 0
+
+
+def _kcore_ref(raw, k):
+    edges = {(u, v) for u, v in set(raw) if u != v}
+    edges |= {(v, u) for u, v in edges}
+    while True:
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        bad = {u for u, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        edges = {(u, v) for u, v in edges if u not in bad and v not in bad}
+
+
+def test_kcore_matches_bruteforce(ray_session):
+    from bionext_ray.ops.graph import kcore
+    rng = np.random.default_rng(7)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 20, (90, 2))]
+    for k in (2, 4):
+        want = _kcore_ref(raw, k)
+        for nblocks in (1, 3):
+            got = kcore(_edge_ds(raw).repartition(nblocks), k=k).to_pandas()
+            assert {r.node: r.deg
+                    for r in got.itertuples(index=False)} == want
+            assert len(got) == 0 or got["deg"].min() >= k
+        got2 = kcore(_edge_ds(raw).repartition(3), k=k,
+                     broadcast_nodes_max=0).to_pandas()
+        assert {r.node: r.deg for r in got2.itertuples(index=False)} == want
+
+
+def test_kcore_cascade_and_empty_core(ray_session):
+    from bionext_ray.ops.graph import kcore
+    # path 1-2-3-4 plus a 4-clique {5,6,7,8}: 2-core = the clique only,
+    # found after a multi-round peel of the path (ends fall, then middle)
+    raw = [(1, 2), (2, 3), (3, 4)] + \
+        [(a, b) for a, b in combinations([5, 6, 7, 8], 2)]
+    got = kcore(_edge_ds(raw), k=2).to_pandas()
+    assert {r.node: r.deg for r in got.itertuples(index=False)} == \
+        {5: 3, 6: 3, 7: 3, 8: 3}
+    # k above every degree: whole graph peels away -> empty core
+    got2 = kcore(_edge_ds(raw), k=4).to_pandas()
+    assert len(got2) == 0
+
+
+def test_kcore_round_cap_fails_loud(ray_session):
+    import pytest
+
+    from bionext_ray.ops.graph import kcore
+    # peeling a 5-path at k=2 needs 2 rounds; cap at 1 must raise,
+    # never silently return a non-core
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        kcore(_edge_ds(raw), k=2, max_rounds=1)
