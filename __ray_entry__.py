@@ -1262,6 +1262,11 @@ def q_unigram_logprob(sf_dir: str):
 
 
 _BM25_TERMS = ["data", "query", "dup"]   # incl. the rare high-idf word
+# two deterministic query variants for the RRF fusion query: the bm25
+# query plus a disjoint common-word rewrite, so the lists overlap on some
+# docs (n_lists=2 rows exist) but not all
+_RRF_QUERIES = [_BM25_TERMS, ["hash", "join", "merge"]]
+_RRF_K_DOCS = 50
 
 
 def q_bm25_topk(sf_dir: str):
@@ -1271,6 +1276,16 @@ def q_bm25_topk(sf_dir: str):
     from bionext_ray.ops.textstats import bm25_topk
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two BM25 top-50 lists (the fixed query
+    and a disjoint rewrite) — exact integer 1e9//(60+rank) contributions;
+    the oracle nests two copies of the proven bm25 SQL and fuses with
+    the same floor arithmetic."""
+    from bionext_ray.ops.textstats import rrf_fusion
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return rrf_fusion(docs, _RRF_QUERIES, k=_RRF_K_DOCS)
 
 
 def q_ngram_docfreq(sf_dir: str):
@@ -1347,6 +1362,18 @@ def q_kcore(sf_dir: str):
     from bionext_ray.ops.graph import kcore
     edges, sp = _lineitem_edges(sf_dir)
     return kcore(edges, k=11, max_rounds=10, shuffle_partitions=sp)
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node (deg >= 2) of the undirected
+    lineitem-derived graph: n_tri through each node and the integer-ppm
+    Watts-Strogatz ratio 2e6*n_tri // (deg*(deg-1)). Degree-ordered
+    per-apex wedge enumeration, gated broadcast closing-edge test, one
+    fused node-sized aggregate; the oracle enumerates a<b<c triangles
+    with a 3-way self-join and credits all corners."""
+    from bionext_ray.ops.graph import clustering_coeff
+    edges, sp = _lineitem_edges(sf_dir)
+    return clustering_coeff(edges, shuffle_partitions=sp)
 
 
 def q_sorted_neighborhood(sf_dir: str):
@@ -2176,6 +2203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5 --
         "neighbor_jaccard": q_neighbor_jaccard,
         "kcore": q_kcore,
+        "clustering_coeff": q_clustering_coeff,
+        "rrf_fusion": q_rrf_fusion,
         "corpus_curation": q_corpus_curation,
         "url_stats": q_url_stats,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2285,7 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # goes more than two rounds unverified. Entries not listed keep their
     # dict order at the tail (all driver-green in r4).
     window = [
-        "neighbor_jaccard", "kcore",
+        "neighbor_jaccard", "kcore", "clustering_coeff", "rrf_fusion",
         "chunk_dedup", "mention_cooccurrence",
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
@@ -2808,12 +2837,12 @@ def oracle_sql() -> dict[str, str]:
                         f"{lit}) > 0 THEN {1 << i} ELSE 0 END)")
         return " + ".join(bits)
 
-    def _bm25_sql() -> str:
+    def _bm25_sql(terms=None, k: int = 10) -> str:
         """Mirror of ops/textstats.py::bm25_topk: Lucene idf, the same
         fixed-order float expression (explicit parens; the + chain follows
-        _BM25_TERMS order), FLOOR to micro BEFORE ranking so engine and
+        the term-list order), FLOOR to micro BEFORE ranking so engine and
         oracle rank identical integers; ties by doc_id."""
-        terms = _BM25_TERMS
+        terms = _BM25_TERMS if terms is None else terms
         in_list = ", ".join(f"'{w}'" for w in terms)
         tf_cols = ", ".join(
             f"COALESCE(MAX(CASE WHEN t.word = '{w}' THEN t.tf END), 0)"
@@ -2856,7 +2885,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
                        AS rank,
                    doc_id, score_micro
-            FROM scored ORDER BY score_micro DESC, doc_id LIMIT 10
+            FROM scored ORDER BY score_micro DESC, doc_id LIMIT {k}
+        """
+
+    def _rrf_sql() -> str:
+        """Mirror of ops/textstats.py::rrf_fusion over the two fixed query
+        variants: each ranked list is the full (nested-WITH) bm25 oracle,
+        fused with exact integer reciprocal-rank contributions."""
+        lists = ", ".join(
+            f"l{i} AS ({_bm25_sql(t, _RRF_K_DOCS)})"
+            for i, t in enumerate(_RRF_QUERIES))
+        union = " UNION ALL ".join(
+            f"SELECT doc_id, rank FROM l{i}"
+            for i in range(len(_RRF_QUERIES)))
+        return f"""
+            WITH {lists}, u AS ({union})
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists,
+                   CAST(MIN(rank) AS BIGINT) AS best_rank,
+                   CAST(SUM(1000000000 // (60 + rank)) AS BIGINT)
+                       AS rrf_micro
+            FROM u GROUP BY doc_id
         """
 
     return {
@@ -3708,6 +3757,39 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_sql(3),
         "hits": _hits_sql(2),
         "kcore": _kcore_sql(11, 10),
+        # ops/graph.py::clustering_coeff — canonical u<v undirected edges,
+        # triangles enumerated once as a<b<c via the 3-way self-join,
+        # each crediting all three corners; integer floor ppm both sides
+        "clustering_coeff": """
+            WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
+                          FROM lineitem),
+                 de AS (SELECT DISTINCT
+                              l_orderkey % (SELECT m FROM mods) AS s,
+                              l_partkey % (SELECT m FROM mods) AS d
+                       FROM lineitem),
+                 und AS (SELECT LEAST(s, d) AS u, GREATEST(s, d) AS v
+                         FROM de WHERE s <> d GROUP BY 1, 2),
+                 deg AS (SELECT node, COUNT(*) AS deg FROM (
+                             SELECT u AS node FROM und
+                             UNION ALL SELECT v FROM und)
+                         GROUP BY node),
+                 tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                         FROM und e1
+                         JOIN und e2 ON e2.u = e1.v
+                         JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+                 tc AS (SELECT node, COUNT(*) AS n_tri FROM (
+                            SELECT a AS node FROM tri
+                            UNION ALL SELECT b FROM tri
+                            UNION ALL SELECT c FROM tri)
+                        GROUP BY node)
+            SELECT d.node,
+                   CAST(d.deg AS BIGINT) AS deg,
+                   CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+                   CAST((1000000 * 2 * COALESCE(t.n_tri, 0))
+                        // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppm
+            FROM deg d LEFT JOIN tc t USING (node)
+            WHERE d.deg >= 2
+        """,
         "neighbor_jaccard": """
             WITH mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m
                           FROM lineitem),
@@ -4195,6 +4277,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "bm25_topk": _bm25_sql(),
+        "rrf_fusion": _rrf_sql(),
         "ngram_docfreq": """
             WITH w AS (SELECT doc_id,
                               string_split(lower(COALESCE(text, '')), ' ')

@@ -1415,3 +1415,214 @@ def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
                                left_cols=["src"], right_cols=[],
                                shuffle_partitions=shuffle_partitions)
             cur = cur.materialize()
+
+
+def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
+                     shuffle_partitions: int | None = None,
+                     broadcast_nodes_max: int = 5_000_000,
+                     broadcast_edges_max: int = 4_000_000):
+    """Local clustering coefficient per node (Watts & Strogatz 1998) over
+    the UNDIRECTED simple graph induced by the edge table: for every node
+    of degree >= 2, the number of triangles through it and
+    lcc_ppm = (1_000_000 * 2 * n_tri) // (deg * (deg - 1)) — integer
+    floor arithmetic end-to-end so a DuckDB triangle-enumeration oracle
+    matches bit-for-bit. Output: (node, deg, n_tri, lcc_ppm). The
+    standard web-graph community-structure / spam-farm signal, and the
+    per-node refinement of :func:`triangle_count` (which returns only the
+    global total).
+
+    Shape — the degree-ordered node-iterator, per-node variant: canonical
+    distinct undirected edges (1 exchange), undirected degrees (1
+    node-sized exchange), degree attach (broadcast searchsorted lookup
+    under ``broadcast_nodes_max``, else two bucketed joins), orientation
+    lower-(deg, id) -> higher, ONE apex-bucketed exchange enumerating
+    each apex's oriented-neighbour pairs vectorized (the superlinear
+    stage; Schank & Wagner 2005 bounds oriented out-degree by O(sqrt m),
+    so per-apex fan-out stays bounded on power-law graphs), then the
+    closing-edge test: a broadcast sorted-composite-key ``searchsorted``
+    streamed over the wedges while the distinct edge set fits
+    ``broadcast_edges_max`` (no exchange), else a composite-key
+    ``shuffle_join``. Every matched wedge is ONE triangle crediting all
+    three corners; corner credits are pre-binned in-task and fused with
+    the degree rows through a single node-sized aggregate (the
+    union-tagged pattern from neighbor_jaccard) — zero-triangle nodes
+    fall out naturally with n_tri = 0."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from bionext_ray.ops.relational import (_key_buckets, bucketed_agg,
+                                            coalesce_for_exchange,
+                                            shuffle_join)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    P = max(16, 2 * ncpu, shuffle_partitions or 0)
+
+    def undirect(b: pa.Table) -> pa.Table:
+        u = pa.compute.cast(b[src], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pa.compute.cast(b[dst], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"src": pa.array(np.minimum(u, v), pa.int64()),
+                         "dst": pa.array(np.maximum(u, v), pa.int64())})
+
+    und = distinct_edges(edges_ds.map_batches(undirect,
+                                              batch_format="pyarrow"),
+                         shuffle_partitions=shuffle_partitions)
+    und = und.materialize()            # consumed 3x: deg, orient, closing
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        vs = np.concatenate([b["src"].to_numpy(zero_copy_only=False),
+                             b["dst"].to_numpy(zero_copy_only=False)])
+        return pa.table({"v": pa.array(vs.astype(np.int64), pa.int64()),
+                         "_c": pa.array(np.ones(len(vs), np.int64))})
+
+    deg = bucketed_agg(und.map_batches(both_ends, batch_format="pyarrow"),
+                       ["v"], [("_c", "sum", "deg")],
+                       shuffle_partitions=shuffle_partitions)
+    deg = deg.materialize()            # consumed 2x: attach + final union
+
+    if deg.count() <= broadcast_nodes_max:
+        parts = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
+        narr = np.concatenate(
+            [t["v"].to_numpy(zero_copy_only=False) for t in parts]
+            or [np.array([], np.int64)]).astype(np.int64)
+        darr = np.concatenate(
+            [t["deg"].to_numpy(zero_copy_only=False) for t in parts]
+            or [np.array([], np.int64)]).astype(np.int64)
+        order = np.argsort(narr, kind="stable")
+        dref = ray.put((narr[order], darr[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            narr, darr = ray.get(dref)     # zero-copy local read
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": b["src"], "dst": b["dst"],
+                "deg_src": pa.array(darr[np.searchsorted(narr, s)],
+                                    pa.int64()),
+                "deg_dst": pa.array(darr[np.searchsorted(narr, d)],
+                                    pa.int64())})
+
+        withdeg = und.map_batches(attach, batch_format="pyarrow")
+    else:
+        withdeg = shuffle_join(und, deg, on=("src", "v"),
+                               left_cols=["dst"], right_cols=["deg"],
+                               shuffle_partitions=shuffle_partitions)
+        withdeg = shuffle_join(
+            withdeg.map_batches(
+                lambda b: b.rename_columns(["src", "dst", "deg_src"]),
+                batch_format="pyarrow"),
+            deg, on=("dst", "v"), left_cols=["src", "deg_src"],
+            right_cols=["deg"], shuffle_partitions=shuffle_partitions)
+        withdeg = withdeg.map_batches(
+            lambda b: b.rename_columns(["dst", "src", "deg_src",
+                                        "deg_dst"]),
+            batch_format="pyarrow")
+
+    # orient lower (deg, id) -> higher (deg, id); total order, no ties
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        ds_ = b["deg_src"].to_numpy(zero_copy_only=False)
+        dd = b["deg_dst"].to_numpy(zero_copy_only=False)
+        fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        a = np.where(fwd, s, d)
+        x = np.where(fwd, d, s)
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "degx": pa.array(np.where(fwd, dd, ds_).astype(np.int64),
+                             pa.int64()),
+            "__bucket": pa.array(_key_buckets(a, P), pa.int64())})
+
+    oriented = withdeg.map_batches(orient, batch_format="pyarrow")
+    oriented = oriented.materialize()  # consumed 2x: wedges + closing set
+
+    def expand(g: pd.DataFrame) -> pa.Table:
+        # per-apex neighbour pairs in (deg, id) order, so (wx, wy) is
+        # stored in the SAME orientation as the closing edge (if any)
+        g = g.sort_values(["a", "degx", "x"], kind="mergesort")
+        xs = g["x"].to_numpy()
+        avals = g["a"].to_numpy()
+        sizes = g.groupby("a", sort=False).size().to_numpy()
+        li, ri = _pairs_within_groups(sizes)
+        return pa.table({
+            "apex": pa.array(avals[li], pa.int64()),
+            "wx": pa.array(xs[li], pa.int64()),
+            "wy": pa.array(xs[ri], pa.int64())})
+
+    wedges = (coalesce_for_exchange(oriented, P)
+              .groupby("__bucket")
+              .map_groups(expand, batch_format="pandas"))
+
+    if und.count() <= broadcast_edges_max:
+        tabs = [t for t in ray.get(oriented.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            t = pa.concat_tables(tabs)
+            ea = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ex = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nodes = np.unique(np.concatenate([ea, ex]))
+            n = np.int64(len(nodes))
+            keys = np.sort(np.searchsorted(nodes, ea) * n
+                           + np.searchsorted(nodes, ex))
+        else:
+            nodes = np.array([], np.int64)
+            n, keys = np.int64(0), np.array([], np.int64)
+        eref = ray.put((nodes, n, keys))
+
+        def close(b: pa.Table) -> pa.Table:
+            nodes, n, keys = ray.get(eref)
+            if not b.num_rows or not len(keys):
+                return pa.table({"apex": pa.array([], pa.int64()),
+                                 "wx": pa.array([], pa.int64()),
+                                 "wy": pa.array([], pa.int64())})
+            wx = b["wx"].to_numpy(zero_copy_only=False)
+            wy = b["wy"].to_numpy(zero_copy_only=False)
+            # wedge endpoints are edge sources/targets, so both are
+            # guaranteed present in the broadcast node vector
+            key = np.searchsorted(nodes, wx) * n + np.searchsorted(
+                nodes, wy)
+            pos = np.minimum(np.searchsorted(keys, key), len(keys) - 1)
+            return b.filter(pa.array(keys[pos] == key))
+
+        closed = wedges.map_batches(close, batch_format="pyarrow")
+    else:
+        closed = shuffle_join(wedges, oriented.select_columns(["a", "x"]),
+                              on=[("wx", "a"), ("wy", "x")],
+                              left_cols=["apex"], right_cols=[],
+                              shuffle_partitions=max(
+                                  shuffle_partitions or 0, P))
+
+    def tri_partials(b: pa.Table) -> pa.Table:
+        vs = np.concatenate([b[c].to_numpy(zero_copy_only=False)
+                             for c in ("apex", "wx", "wy")]).astype(np.int64)
+        u, c = np.unique(vs, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "deg": pa.array(np.zeros(len(u), np.int64)),
+                         "tri": pa.array(c.astype(np.int64), pa.int64())})
+
+    def deg_partials(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table({"v": b["v"], "deg": b["deg"],
+                         "tri": pa.array(z, pa.int64())})
+
+    fused = bucketed_agg(
+        closed.map_batches(tri_partials, batch_format="pyarrow")
+        .union(deg.map_batches(deg_partials, batch_format="pyarrow")),
+        ["v"], [("deg", "sum", "deg"), ("tri", "sum", "n_tri")],
+        shuffle_partitions=shuffle_partitions)
+
+    def final(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["deg"], 2))
+        d = b["deg"].to_numpy(zero_copy_only=False)
+        t = b["n_tri"].to_numpy(zero_copy_only=False)
+        lcc = np.zeros(len(d), np.int64) if not len(d) else \
+            (1_000_000 * 2 * t) // (d * (d - 1))
+        return pa.table({"node": b["v"], "deg": b["deg"],
+                         "n_tri": b["n_tri"],
+                         "lcc_ppm": pa.array(lcc, pa.int64())})
+
+    return fused.map_batches(final, batch_format="pyarrow")

@@ -1095,6 +1095,46 @@ def bm25_topk(documents_ds, query_terms: list[str], k: int = 10,
     })
 
 
+def rrf_fusion(documents_ds, query_term_sets: list[list[str]],
+               k: int = 50, rrf_k: int = 60,
+               k1: float = 1.2, b: float = 0.75):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    several BM25 rankings over the same corpus — the standard way a
+    retrieval pipeline merges query-expansion / multi-field result lists
+    without score calibration: each list contributes 1/(rrf_k + rank),
+    here in exact integers (1_000_000_000 // (rrf_k + rank), summed) so
+    a DuckDB oracle composing the proven bm25 SQL matches bit-for-bit.
+
+    Each term set runs the full :func:`bm25_topk` (two corpus-streaming
+    passes; the per-list stats pass is NOT shared because idf/avgdl are
+    corpus constants but df is per-term — at L lists the corpus is
+    scanned 2L times, and L is small by construction: fusion inputs are
+    hand-picked query variants, not data). The fusion itself touches
+    only L x k (doc_id, rank) rows — driver-side by design, like the
+    bm25 heap merge.
+
+    Returns (doc_id, n_lists, best_rank, rrf_micro): how many lists hit
+    the doc, its best rank across lists, and the integer RRF score.
+    """
+    assert query_term_sets, "rrf_fusion: need at least one query"
+    fused: dict[int, list[int]] = {}
+    for terms in query_term_sets:
+        ranked = bm25_topk(documents_ds, terms, k=k, k1=k1, b=b)
+        for rank, doc in zip(ranked["rank"].to_pylist(),
+                             ranked["doc_id"].to_pylist()):
+            got = fused.setdefault(int(doc), [0, k + 1, 0])
+            got[0] += 1
+            got[1] = min(got[1], rank)
+            got[2] += 1_000_000_000 // (rrf_k + rank)
+    ids = sorted(fused)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_lists": pa.array([fused[i][0] for i in ids], pa.int64()),
+        "best_rank": pa.array([fused[i][1] for i in ids], pa.int64()),
+        "rrf_micro": pa.array([fused[i][2] for i in ids], pa.int64()),
+    })
+
+
 _WS_RE = re.compile(r"[ \t\n\r\f]+")
 
 

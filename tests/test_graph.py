@@ -569,3 +569,64 @@ def test_kcore_round_cap_fails_loud(ray_session):
     raw = [(1, 2), (2, 3), (3, 4), (4, 5)]
     with pytest.raises(RuntimeError, match="not converged"):
         kcore(_edge_ds(raw), k=2, max_rounds=1)
+
+
+def _lcc_ref(raw):
+    edges = {(min(u, v), max(u, v)) for u, v in set(raw) if u != v}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        tri = sum(len(adj[x] & nb) for x in nb) // 2
+        want[v] = (d, tri, 1_000_000 * 2 * tri // (d * (d - 1)))
+    return want
+
+
+def test_clustering_coeff_matches_bruteforce(ray_session):
+    from bionext_ray.ops.graph import clustering_coeff
+    rng = np.random.default_rng(3)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 18, (100, 2))]
+    want = _lcc_ref(raw)
+    for nblocks in (1, 3):
+        got = clustering_coeff(_edge_ds(raw).repartition(nblocks)) \
+            .to_pandas()
+        assert {r.node: (r.deg, r.n_tri, r.lcc_ppm)
+                for r in got.itertuples(index=False)} == want
+    # exchange paths (degree attach via shuffle_join, closing via
+    # composite-key join) must agree with the broadcast paths
+    got2 = clustering_coeff(_edge_ds(raw).repartition(3),
+                            broadcast_nodes_max=0,
+                            broadcast_edges_max=0).to_pandas()
+    assert {r.node: (r.deg, r.n_tri, r.lcc_ppm)
+            for r in got2.itertuples(index=False)} == want
+
+
+def test_clustering_coeff_shapes(ray_session):
+    from bionext_ray.ops.graph import clustering_coeff
+    # triangle + pendant: 1,2,3 close a triangle (lcc 1.0); node 4 hangs
+    # off 3 (deg(3)=3, 1 triangle -> ppm 333333); deg-1 node 4 excluded;
+    # duplicate/reversed/self edges collapse
+    raw = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 4), (2, 1)]
+    got = clustering_coeff(_edge_ds(raw)).to_pandas()
+    assert {r.node: (r.deg, r.n_tri, r.lcc_ppm)
+            for r in got.itertuples(index=False)} == \
+        {1: (2, 1, 1_000_000), 2: (2, 1, 1_000_000), 3: (3, 1, 333_333)}
+    # triangle-free star: centre has deg 3, 0 triangles, lcc 0
+    star = [(9, 1), (9, 2), (9, 3)]
+    got2 = clustering_coeff(_edge_ds(star)).to_pandas()
+    assert {r.node: (r.deg, r.n_tri, r.lcc_ppm)
+            for r in got2.itertuples(index=False)} == {9: (3, 0, 0)}
+
+
+def test_clustering_coeff_empty(ray_session):
+    import ray.data
+
+    from bionext_ray.ops.graph import clustering_coeff
+    ds = ray.data.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                       "dst": pa.array([], pa.int64())}))
+    assert clustering_coeff(ds).count() == 0

@@ -121,3 +121,32 @@ def test_bm25_topk_matches_bruteforce(ray_session):
     order = [i for i, _ in want]
     scores = dict(want)
     assert scores[2] == scores[6] and order.index(6) == order.index(2) + 1
+
+
+def test_rrf_fusion_matches_bruteforce(ray_session):
+    """RRF over two bm25 lists vs a plain-Python fusion of the same
+    bm25_topk outputs; overlap, single-list, and rank arithmetic all
+    exercised. Floor integer contributions: 1e9 // (60 + rank)."""
+    import ray.data
+
+    from bionext_ray.ops.textstats import bm25_topk, rrf_fusion
+
+    rows = [(1, "data big data query"), (2, "data"), (3, "query query"),
+            (4, "hash join"), (5, "merge hash hash"), (6, "data hash"),
+            (7, "other words"), (8, None)]
+    qsets = [["data", "query"], ["hash", "join", "merge"]]
+    ds = ray.data.from_arrow(_docs(rows))
+    want = {}
+    for terms in qsets:
+        t = bm25_topk(ds, terms, k=4).to_pandas()
+        for rank, doc in zip(t["rank"], t["doc_id"]):
+            e = want.setdefault(int(doc), [0, 5, 0])
+            e[0] += 1
+            e[1] = min(e[1], int(rank))
+            e[2] += 1_000_000_000 // (60 + int(rank))
+    for parts in (1, 4):
+        got = rrf_fusion(ds.repartition(parts), qsets, k=4).to_pandas()
+        assert {r.doc_id: [r.n_lists, r.best_rank, r.rrf_micro]
+                for r in got.itertuples(index=False)} == want
+    # doc 6 matches both queries: must appear with n_lists == 2
+    assert want[6][0] == 2
