@@ -92,7 +92,7 @@ def _run_bench() -> dict:
         # late-round-5 operators
         "event_transitions", "unigram_logprob", "bm25_topk",
         "chunk_dedup", "mention_cooccurrence",
-        "neighbor_jaccard", "kcore",
+        "neighbor_jaccard", "kcore", "clustering_coeff", "rrf_fusion",
     ]
 
     per_query = {}
