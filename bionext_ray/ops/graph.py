@@ -1160,6 +1160,25 @@ def mention_cooccurrence(tagged_ds, shuffle_partitions: int | None = None):
     })
 
 
+def _broadcast_node_lookup(ds, key: str = "v", val: str = "deg"):
+    """Collect a node-keyed (key, val) dataset into ONE key-sorted pair of
+    int64 arrays and ``ray.put`` it — the shared small-side broadcast for
+    the gated degree-attach paths (callers look values up with
+    ``searchsorted``; every queried key must be present by construction).
+    Caller owns the gate (``ds.count() <= broadcast_nodes_max``)."""
+    import ray
+
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    keys = np.concatenate(
+        [t[key].to_numpy(zero_copy_only=False) for t in parts]
+        or [np.array([], np.int64)]).astype(np.int64)
+    vals = np.concatenate(
+        [t[val].to_numpy(zero_copy_only=False) for t in parts]
+        or [np.array([], np.int64)]).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    return ray.put((keys[order], vals[order]))
+
+
 def neighbor_jaccard(edges_ds, src: str = "src", dst: str = "dst",
                      min_common: int = 1, max_in_degree: int | None = None,
                      shuffle_partitions: int | None = None,
@@ -1283,15 +1302,7 @@ def neighbor_jaccard(edges_ds, src: str = "src", dst: str = "dst",
         })
 
     if deg.count() <= broadcast_nodes_max:
-        parts = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
-        node_arr = np.concatenate(
-            [t["v"].to_numpy(zero_copy_only=False) for t in parts]
-            or [np.array([], np.int64)]).astype(np.int64)
-        deg_arr = np.concatenate(
-            [t["deg"].to_numpy(zero_copy_only=False) for t in parts]
-            or [np.array([], np.int64)]).astype(np.int64)
-        order = np.argsort(node_arr, kind="stable")
-        ref = ray.put((node_arr[order], deg_arr[order]))
+        ref = _broadcast_node_lookup(deg)
 
         def lookup(b: pa.Table) -> pa.Table:
             narr, darr = ray.get(ref)      # zero-copy local read
@@ -1302,16 +1313,19 @@ def neighbor_jaccard(edges_ds, src: str = "src", dst: str = "dst",
 
         return inter.map_batches(lookup, batch_format="pyarrow")
 
+    # the pair table is the OUTPUT-sized side: both joins get the floored
+    # P, not the input-sized estimate (the same starvation the exchange
+    # comment above documents)
     j1 = shuffle_join(inter, deg, on=("node_a", "v"),
                       left_cols=["node_b", "n_common"], right_cols=["deg"],
-                      shuffle_partitions=shuffle_partitions)
+                      shuffle_partitions=P)
     j1 = j1.map_batches(lambda b: b.rename_columns(
         ["deg_a" if c == "deg" else c for c in b.column_names]),
         batch_format="pyarrow")
     j2 = shuffle_join(j1, deg, on=("node_b", "v"),
                       left_cols=["node_a", "n_common", "deg_a"],
                       right_cols=["deg"],
-                      shuffle_partitions=shuffle_partitions)
+                      shuffle_partitions=P)
 
     def score_joined(b: pa.Table) -> pa.Table:
         return score(b, b["deg_a"].to_numpy(zero_copy_only=False),
@@ -1378,7 +1392,10 @@ def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
                 return b.filter(m if keep_core else pc.invert(m))
             return fn
 
-        bad = deg.map_batches(split(False), batch_format="pyarrow")
+        # materialized: count + (on the broadcast path) the collect below
+        # read the same pass instead of re-running the filter
+        bad = deg.map_batches(split(False),
+                              batch_format="pyarrow").materialize()
         n_bad = bad.count()
         if n_bad == 0:
             return deg.map_batches(
@@ -1485,15 +1502,7 @@ def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
     deg = deg.materialize()            # consumed 2x: attach + final union
 
     if deg.count() <= broadcast_nodes_max:
-        parts = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
-        narr = np.concatenate(
-            [t["v"].to_numpy(zero_copy_only=False) for t in parts]
-            or [np.array([], np.int64)]).astype(np.int64)
-        darr = np.concatenate(
-            [t["deg"].to_numpy(zero_copy_only=False) for t in parts]
-            or [np.array([], np.int64)]).astype(np.int64)
-        order = np.argsort(narr, kind="stable")
-        dref = ray.put((narr[order], darr[order]))
+        dref = _broadcast_node_lookup(deg)
 
         def attach(b: pa.Table) -> pa.Table:
             narr, darr = ray.get(dref)     # zero-copy local read
