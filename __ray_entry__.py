@@ -1376,6 +1376,17 @@ def q_clustering_coeff(sf_dir: str):
     return clustering_coeff(edges, shuffle_partitions=sp)
 
 
+def q_label_propagation(sf_dir: str):
+    """Synchronous min-tie-break label propagation (3 rounds) over the
+    undirected lineitem-derived graph — deterministic community labels,
+    one gated broadcast label attach + one node-bucketed argmax exchange
+    per round; the oracle unrolls the same 3 rounds as chained
+    QUALIFY-argmax CTEs."""
+    from bionext_ray.ops.graph import label_propagation
+    edges, sp = _lineitem_edges(sf_dir)
+    return label_propagation(edges, rounds=3, shuffle_partitions=sp)
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking: every doc pair within 2 positions of
     each other in (md5(text), doc_id) order — the classic ER candidate
@@ -2205,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "clustering_coeff": q_clustering_coeff,
         "rrf_fusion": q_rrf_fusion,
+        "label_propagation": q_label_propagation,
         "corpus_curation": q_corpus_curation,
         "url_stats": q_url_stats,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2315,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dict order at the tail (all driver-green in r4).
     window = [
         "neighbor_jaccard", "kcore", "clustering_coeff", "rrf_fusion",
+        "label_propagation",
         "chunk_dedup", "mention_cooccurrence",
         "kg_mentions", "kg_linked_dict", "kg_extract_text",
         "kg_linked_mentions", "kg_triples", "kg_canonical_triples",
@@ -2415,6 +2428,32 @@ def oracle_sql() -> dict[str, str]:
         return ("WITH " + ", ".join(ctes)
                 + f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg"
                 f" FROM e{rounds} GROUP BY u")
+
+    def _lpa_sql(rounds: int = 3) -> str:
+        """Unroll synchronous min-tie-break label propagation
+        (ops/graph.py::label_propagation) as chained CTEs: each round's
+        labels are the per-node (count DESC, label ASC) argmax over
+        neighbour labels, via QUALIFY over the grouped join."""
+        ctes = [
+            "mods AS (SELECT GREATEST(997, COUNT(*) // 12) AS m "
+            "FROM lineitem)",
+            "de AS MATERIALIZED (SELECT DISTINCT "
+            "l_orderkey % (SELECT m FROM mods) AS s, "
+            "l_partkey % (SELECT m FROM mods) AS d FROM lineitem)",
+            "e0 AS MATERIALIZED (SELECT s AS u, d AS v FROM de "
+            "WHERE s <> d UNION SELECT d, s FROM de WHERE s <> d)",
+            "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl "
+            "FROM e0)",
+        ]
+        for i in range(1, rounds + 1):
+            ctes.append(
+                f"l{i} AS MATERIALIZED (SELECT e.u AS node, l.lbl AS lbl "
+                f"FROM e0 e JOIN l{i - 1} l ON l.node = e.v "
+                f"GROUP BY e.u, l.lbl "
+                f"QUALIFY ROW_NUMBER() OVER (PARTITION BY e.u "
+                f"ORDER BY COUNT(*) DESC, l.lbl) = 1)")
+        return ("WITH " + ", ".join(ctes)
+                + f" SELECT node, lbl AS label FROM l{rounds}")
 
     def _hits_sql(iters: int = 2) -> str:
         """Unroll the integer HITS recurrence (ops/graph.py::hits:
@@ -3757,6 +3796,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_sql(3),
         "hits": _hits_sql(2),
         "kcore": _kcore_sql(11, 10),
+        "label_propagation": _lpa_sql(3),
         # ops/graph.py::clustering_coeff — canonical u<v undirected edges,
         # triangles enumerated once as a<b<c via the 3-way self-join,
         # each crediting all three corners; integer floor ppm both sides

@@ -93,6 +93,7 @@ def _run_bench() -> dict:
         "event_transitions", "unigram_logprob", "bm25_topk",
         "chunk_dedup", "mention_cooccurrence",
         "neighbor_jaccard", "kcore", "clustering_coeff", "rrf_fusion",
+        "label_propagation",
     ]
 
     per_query = {}

@@ -1635,3 +1635,156 @@ def clustering_coeff(edges_ds, src: str = "src", dst: str = "dst",
                          "lcc_ppm": pa.array(lcc, pa.int64())})
 
     return fused.map_batches(final, batch_format="pyarrow")
+
+
+def label_propagation(edges_ds, rounds: int = 2, src: str = "src",
+                      dst: str = "dst",
+                      shuffle_partitions: int | None = None,
+                      broadcast_edges_max: int = 4_000_000):
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic): over the UNDIRECTED simple graph, every node starts
+    labelled with its own id and each round SIMULTANEOUSLY adopts the
+    label most frequent among its neighbours, ties broken by the SMALLEST
+    label — so the result is a pure function of (graph, rounds),
+    independent of block layout, and a DuckDB oracle that unrolls the
+    same ``rounds`` as chained CTEs matches exactly. Runs a FIXED number
+    of rounds (community detection converges in a handful of sweeps;
+    a fixpoint check would make the oracle depth data-dependent).
+    Returns (node, label) after the final round — connected regions
+    collapse toward hub-anchored communities, the classic cheap
+    web-graph community / spam-cluster primitive (contrast
+    :func:`connected_components` in ops/dedup.py, which ignores edge
+    multiplicity inside a component).
+
+    Shape, gated like the other centrality ops: while the DISTINCT
+    symmetric edge count fits ``broadcast_edges_max`` the whole loop
+    runs with ZERO per-round exchanges — labels broadcast as two sorted
+    int64 arrays (16 B/node, re-``ray.put`` each round), each edge block
+    emits in-task (node, label, n) partials, and the node-sized argmax
+    reduce runs on the driver (partial rows are bounded by the gated
+    edge count, the same driver bound as the triangle broadcast path;
+    the O(E) scan stays distributed, only node-sized state is
+    driver-resident). Above the gate, each round is a bucketed
+    ``shuffle_join`` label attach + ONE node-bucketed argmax exchange
+    (count desc, label asc — mergesort + boundary mask, no per-node
+    Python), the 100-TB path. Every node appears as a source in the
+    symmetric edge table, so each round relabels every non-isolated
+    node; isolated nodes never enter an edge-derived graph."""
+    import pandas as pd
+    import ray
+
+    from bionext_ray.ops.relational import (_key_buckets,
+                                            coalesce_for_exchange,
+                                            shuffle_join)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    P = max(16, 2 * ncpu, shuffle_partitions or 0)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = pa.compute.cast(b[src], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = pa.compute.cast(b[dst], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
+                         "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    edges = distinct_edges(edges_ds.map_batches(sym, batch_format="pyarrow"),
+                           shuffle_partitions=shuffle_partitions)
+    edges = edges.materialize()        # consumed once per round
+
+    def _argmax(df: pd.DataFrame) -> pd.DataFrame:
+        # per-node (count desc, label asc) argmax, fully vectorized:
+        # after sorting by (node, -count, label) the winner is each
+        # node's first row
+        g = (df.groupby(["v", "lbl"], sort=False)["n"].sum().reset_index()
+             .sort_values(["v", "n", "lbl"],
+                          ascending=[True, False, True],
+                          kind="mergesort"))
+        first = np.ones(len(g), bool)
+        vs = g["v"].to_numpy()
+        first[1:] = vs[1:] != vs[:-1]
+        return pd.DataFrame({"v": vs[first],
+                             "lbl": g["lbl"].to_numpy()[first]})
+
+    if edges.count() <= broadcast_edges_max:
+        # zero-exchange loop: labels live on the driver (node-sized,
+        # bounded by the edge gate), the edge scan fans out per round
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        srcs = np.concatenate(
+            [t["src"].to_numpy(zero_copy_only=False) for t in tabs]
+            or [np.array([], np.int64)]).astype(np.int64)
+        narr = np.unique(srcs)           # == all nodes: table is symmetric
+        larr = narr.copy()               # round 0: label(v) = v
+
+        def nb_partials(lref):
+            def fn(b: pa.Table) -> pa.Table:
+                nodes, lab = ray.get(lref)
+                s = b["src"].to_numpy(zero_copy_only=False)
+                d = b["dst"].to_numpy(zero_copy_only=False)
+                part = (pd.DataFrame(
+                    {"v": s, "lbl": lab[np.searchsorted(nodes, d)]})
+                    .groupby(["v", "lbl"], sort=False)
+                    .size().rename("n").reset_index())
+                return pa.table({"v": pa.array(part["v"], pa.int64()),
+                                 "lbl": pa.array(part["lbl"], pa.int64()),
+                                 "n": pa.array(part["n"], pa.int64())})
+            return fn
+
+        for _ in range(rounds):
+            lref = ray.put((narr, larr))
+            parts = [t.to_pandas() for t in ray.get(
+                edges.map_batches(nb_partials(lref),
+                                  batch_format="pyarrow").to_arrow_refs())
+                if t.num_rows]
+            if not parts:
+                break
+            win = _argmax(pd.concat(parts, ignore_index=True))
+            # every node re-labels each round (symmetric table), so the
+            # winner list covers narr exactly, in sorted order
+            assert len(win) == len(narr), "label_propagation: node drift"
+            larr = win["lbl"].to_numpy(np.int64)
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(narr, pa.int64()),
+            "label": pa.array(larr, pa.int64())}))
+
+    # exchange path (the 100-TB shape): per round one bucketed label
+    # attach + one node-bucketed argmax exchange
+    labels = node_table(edges, shuffle_partitions=shuffle_partitions) \
+        .map_batches(lambda b: pa.table({"v": b["v"], "lbl": b["v"]}),
+                     batch_format="pyarrow").materialize()
+
+    def argmax_bucket(g: pd.DataFrame) -> pa.Table:
+        win = _argmax(g)
+        return pa.table({"v": pa.array(win["v"], pa.int64()),
+                         "lbl": pa.array(win["lbl"], pa.int64())})
+
+    for _ in range(rounds):
+        joined = shuffle_join(edges, labels, on=("dst", "v"),
+                              left_cols=["src"], right_cols=["lbl"],
+                              shuffle_partitions=max(
+                                  shuffle_partitions or 0, P))
+
+        def pre_agg(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            lb = b["lbl"].to_numpy(zero_copy_only=False)
+            part = (pd.DataFrame({"v": s, "lbl": lb})
+                    .groupby(["v", "lbl"], sort=False)
+                    .size().rename("n").reset_index())
+            t = pa.table({"v": pa.array(part["v"], pa.int64()),
+                          "lbl": pa.array(part["lbl"], pa.int64()),
+                          "n": pa.array(part["n"], pa.int64())})
+            return t.append_column("__bucket", pa.array(_key_buckets(
+                part["v"].to_numpy(np.int64), P), pa.int64()))
+
+        partials = joined.map_batches(pre_agg, batch_format="pyarrow")
+        labels = (coalesce_for_exchange(partials, P)
+                  .groupby("__bucket")
+                  .map_groups(argmax_bucket, batch_format="pandas")
+                  .materialize())
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["v"], "label": b["lbl"]}),
+        batch_format="pyarrow")

@@ -630,3 +630,57 @@ def test_clustering_coeff_empty(ray_session):
     ds = ray.data.from_arrow(pa.table({"src": pa.array([], pa.int64()),
                                        "dst": pa.array([], pa.int64())}))
     assert clustering_coeff(ds).count() == 0
+
+
+def _lpa_ref(raw, rounds):
+    edges = {(u, v) for u, v in set(raw) if u != v}
+    edges |= {(v, u) for u, v in edges}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nb in adj.items():
+            counts = {}
+            for x in nb:
+                counts[lbl[x]] = counts.get(lbl[x], 0) + 1
+            new[v] = min(counts, key=lambda c: (-counts[c], c))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_bruteforce(ray_session):
+    from bionext_ray.ops.graph import label_propagation
+    rng = np.random.default_rng(5)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 25, (80, 2))]
+    for rounds in (1, 3):
+        want = _lpa_ref(raw, rounds)
+        for nblocks in (1, 3):
+            got = label_propagation(_edge_ds(raw).repartition(nblocks),
+                                    rounds=rounds).to_pandas()
+            assert {r.node: r.label
+                    for r in got.itertuples(index=False)} == want
+    # exchange label-attach path must agree with the broadcast path
+    got2 = label_propagation(_edge_ds(raw).repartition(3), rounds=3,
+                             broadcast_edges_max=0).to_pandas()
+    assert {r.node: r.label
+            for r in got2.itertuples(index=False)} == _lpa_ref(raw, 3)
+
+
+def test_label_propagation_two_cliques(ray_session):
+    from bionext_ray.ops.graph import label_propagation
+    # two 3-cliques joined by one bridge edge. Deterministic synchronous
+    # min-tie-break semantics (pinned against the reference): the left
+    # clique converges to label 1; on the right, bridge node 7 adopts 3
+    # in round 1 (tie {8, 9, 3} -> min), so 8 and 9 see {3, 7} ties in
+    # round 2 and take 3 while 7 itself swings back to 7 — bridge-label
+    # leakage is EXPECTED under min-tie-break LPA, exactly what the
+    # unrolled SQL oracle reproduces.
+    raw = [(1, 2), (2, 3), (3, 1), (7, 8), (8, 9), (9, 7), (3, 7)]
+    want = _lpa_ref(raw, 2)
+    got = label_propagation(_edge_ds(raw), rounds=2).to_pandas()
+    lbl = {r.node: r.label for r in got.itertuples(index=False)}
+    assert lbl == want
+    assert lbl[1] == lbl[2] == lbl[3] == 1   # left clique converged
+    assert lbl[8] == lbl[9] == 3 and lbl[7] == 7
