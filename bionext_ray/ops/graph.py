@@ -1708,14 +1708,22 @@ def label_propagation(edges_ds, rounds: int = 2, src: str = "src",
         return pd.DataFrame({"v": vs[first],
                              "lbl": g["lbl"].to_numpy()[first]})
 
-    if edges.count() <= broadcast_edges_max:
+    # the symmetric table holds 2 rows per undirected edge: gate on the
+    # UNDIRECTED count so the cutoff lines up with the sibling ops'
+    # canonical-edge gates (clustering_coeff, triangle_count)
+    if edges.count() // 2 <= broadcast_edges_max:
         # zero-exchange loop: labels live on the driver (node-sized,
-        # bounded by the edge gate), the edge scan fans out per round
-        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
-        srcs = np.concatenate(
-            [t["src"].to_numpy(zero_copy_only=False) for t in tabs]
-            or [np.array([], np.int64)]).astype(np.int64)
-        narr = np.unique(srcs)           # == all nodes: table is symmetric
+        # bounded by the edge gate), the edge scan fans out per round.
+        # Node ids via per-block uniques — only node-sized data reaches
+        # the driver, never the edge table itself
+        parts = [t for t in ray.get(
+            edges.map_batches(
+                lambda b: pa.table({"v": pa.array(np.unique(
+                    b["src"].to_numpy(zero_copy_only=False)), pa.int64())}),
+                batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+        narr = np.unique(np.concatenate(
+            [t["v"].to_numpy(zero_copy_only=False) for t in parts]
+            or [np.array([], np.int64)]).astype(np.int64))
         larr = narr.copy()               # round 0: label(v) = v
 
         def nb_partials(lref):
@@ -1764,8 +1772,7 @@ def label_propagation(edges_ds, rounds: int = 2, src: str = "src",
     for _ in range(rounds):
         joined = shuffle_join(edges, labels, on=("dst", "v"),
                               left_cols=["src"], right_cols=["lbl"],
-                              shuffle_partitions=max(
-                                  shuffle_partitions or 0, P))
+                              shuffle_partitions=P)
 
         def pre_agg(b: pa.Table) -> pa.Table:
             s = b["src"].to_numpy(zero_copy_only=False)
