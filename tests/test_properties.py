@@ -193,3 +193,58 @@ def test_duplicate_text_spans_matches_bruteforce(ray_session, texts, seed):
     spans = {(int(r.doc_id), int(r.start_word), int(r.end_word))
              for r in got.itertuples(index=False)}
     assert spans == _dup_spans_ref(texts, k=3)
+
+
+# ---- graph-kernel properties ------------------------------------------
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.lists(st.integers(min_value=0, max_value=7), max_size=12))
+def test_pairs_within_groups_equals_bruteforce(sizes):
+    """The grouped-arange pair enumerator (shared by cocitation,
+    neighbor_jaccard and clustering_coeff's wedge stage) must emit
+    exactly the (i < j) index pairs of each contiguous group, in any
+    group-size mix including empty and size-1 groups."""
+    import numpy as np
+
+    from bionext_ray.ops.graph import _pairs_within_groups
+
+    arr = np.array(sizes, np.int64)
+    li, ri = _pairs_within_groups(arr)
+    got = list(zip(li.tolist(), ri.tolist()))
+    want = set()
+    start = 0
+    for s in sizes:
+        for i in range(s):
+            for j in range(i + 1, s):
+                want.add((start + i, start + j))
+        start += s
+    # emission order is j-major (an implementation detail no caller
+    # relies on — every consumer aggregates); the SET must be exact and
+    # duplicate-free
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=3))
+def test_label_propagation_property(ray_session, edges, rounds):
+    """Dataset-level LPA equals the sequential reference on arbitrary
+    small graphs at arbitrary round counts (few examples: each costs a
+    Ray job; the dense brute-force unit tests carry layout coverage)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from bionext_ray.ops.graph import label_propagation
+
+    if all(u == v for u, v in edges):
+        return                       # self-loop-only graph: empty output
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([u for u, _ in edges], pa.int64()),
+        "dst": pa.array([v for _, v in edges], pa.int64())}))
+    got = label_propagation(ds, rounds=rounds).to_pandas()
+    from tests.test_graph import _lpa_ref
+    want = _lpa_ref(edges, rounds)
+    assert {r.node: r.label for r in got.itertuples(index=False)} == want
