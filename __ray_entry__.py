@@ -2317,6 +2317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_cont": q_events_quantiles_cont,
     }
     # Round-5 driver window (~first 50 entries get a CORRECTNESS row):
+    # Round-5 window order: the five final-session operators (never
+    # driver-checked; each has a full SQL oracle verified locally at
+    # sf0.001/0.01/0.1) ->
     # kg flagship block (incl. the two new hard oracles) -> the rows-only
     # queries converted to SQL this round (neardup_verified, pack_bins,
     # lang_id_ngram, image_neardup, dup_spans, then late-round: simhash,
